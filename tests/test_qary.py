@@ -1,0 +1,168 @@
+"""Q-ary decoder conformance.
+
+Ports the reference's Rust unit-test contracts:
+- into_llr exact values (decoder.rs:744-768)
+- toy 6x3 B=7 decode (decoder.rs:771-799)
+- medium 450x150 regular code decode (decoder.rs:818-854; we generate an
+  equivalent (3,6)+identity regular code rather than shipping the fixture)
+- q-ary FER doctest configuration (decode.py:192-209, expects success)
+"""
+
+import numpy as np
+import pytest
+
+from sca_ldpc_tpu.channels.llr import probs_to_llr
+from sca_ldpc_tpu.codes import make_regular_ldpc_parity_check_matrix_identity
+from sca_ldpc_tpu.ops import QaryDecoder, QarySpecialDecoder
+from sca_ldpc_tpu.sim import simulate_frame_error_rate_qary
+from sca_ldpc_tpu.utils import make_random_state
+
+
+def test_into_llr_exact():
+    """decoder.rs:744-768: llr = ln(max/p), inf where p == 0."""
+    row = [0.0, 0.0, 0.0, 0.0, 0.14, 0.14, 0.14, 0.14, 0.14, 0.14, 0.14, 0.02, 0.0, 0.0, 0.0]
+    llr = np.asarray(probs_to_llr(np.array([row], np.float32)))
+    expected = np.array(
+        [np.inf] * 4 + [0.0] * 7 + [1.9459101] + [np.inf] * 3, dtype=np.float32
+    )
+    assert np.allclose(llr[0], expected, rtol=1e-5)
+
+
+def _toy_decoder(max_iter=10):
+    H = np.array(
+        [
+            [1, 1, 1, 1, 0, 0],
+            [0, 0, 1, 1, 0, 1],
+            [1, 0, 0, 1, 1, 0],
+        ],
+        dtype=np.int8,
+    )
+    return QaryDecoder(H, b_range=7, max_iter=max_iter)
+
+
+def test_toy_decoder_corrects_single_symbol():
+    """decoder.rs:771-799: zero codeword, one noisy symbol -> all-zero out."""
+    dec = _toy_decoder()
+    q = 15
+    channel = np.zeros((6, q), np.float32)
+    channel[:, 7] = 1.0  # certain zero
+    channel[1, 7] = 0.1
+    channel[1, 14] = 0.9  # symbol +7 likely
+    out = np.asarray(dec.min_sum(channel))
+    assert out.tolist() == [0] * 6
+
+
+def test_toy_decoder_batch():
+    dec = _toy_decoder()
+    q = 15
+    base = np.zeros((6, q), np.float32)
+    base[:, 7] = 1.0
+    batch = np.stack([base] * 4)
+    batch[2, 3, 7] = 0.2
+    batch[2, 3, 8] = 0.8
+    out = np.asarray(dec.min_sum(batch))
+    assert out.shape == (4, 6)
+    assert (out == 0).all()
+
+
+def test_medium_decoder_450():
+    """decoder.rs:818-854 equivalent: (3,6)+I regular code, B=7, 10 iters."""
+    rng = make_random_state(1)
+    H = make_regular_ldpc_parity_check_matrix_identity(300, 150, 3, 6, rng).astype(np.int8)
+    dec = QaryDecoder(H, b_range=7, max_iter=10)
+    q = 15
+    channel = np.zeros((450, q), np.float32)
+    channel[:, 7] = 1.0
+    channel[1, 7] = 0.1
+    channel[1, 14] = 0.9
+    out = np.asarray(dec.min_sum(channel))
+    assert (out == 0).all()
+
+
+def test_qary_fer_simulation():
+    """decode.py:192-209 doctest configuration: 1 run at rate 0.005 succeeds."""
+    rng = make_random_state(1)
+    H = make_regular_ldpc_parity_check_matrix_identity(300, 150, 3, 6, rng)
+    successes, max_ok, min_fail = simulate_frame_error_rate_qary(
+        H, 1, 0.005, 1, rng, iterations=5
+    )
+    assert successes == 1
+
+
+def test_signed_entries_decode():
+    """H entries of -1 exercise the GF reversal path (decoder.rs:164-172)."""
+    H = np.array(
+        [
+            [1, -1, 1, 0],
+            [0, 1, -1, 1],
+        ],
+        dtype=np.int8,
+    )
+    dec = QaryDecoder(H, b_range=2, max_iter=8)
+    q = 5
+    # true word: x = (1, 1, 0, 1): checks: x0 - x1 + x2 = 0; x1 - x2 + x3 = 2...
+    # use a zero word instead but with asymmetric noise on a signed column
+    channel = np.zeros((4, q), np.float32)
+    channel[:, 2] = 1.0
+    channel[1, 2] = 0.15
+    channel[1, 0] = 0.85  # pulls toward -2
+    out = np.asarray(dec.min_sum(channel))
+    assert (out == 0).all()
+
+
+def test_special_decoder_zero_word():
+    """DecoderSpecial semantics: [H'|I] with BSUM = SW*B; zero secrets and
+    zero sums decode to zero (decoder_special.rs:294-617)."""
+    rng = make_random_state(5)
+    from sca_ldpc_tpu.codes import make_qary_qc_parity_check_matrix
+
+    block = 16
+    H = make_qary_qc_parity_check_matrix(block, 6, 3, rng, check_blocks=1).astype(np.int8)
+    n = H.shape[1]
+    r = H.shape[0]
+    n_b = n - r
+    b, sw = 2, 6
+    bsum = b * sw
+    dec = QarySpecialDecoder(H, b=b, bsum=bsum, max_iter=5, sw=sw)
+
+    ch_b = np.zeros((n_b, 2 * b + 1), np.float32)
+    ch_b[:, b] = 0.9
+    ch_b[:, b - 1] = 0.05
+    ch_b[:, b + 1] = 0.05
+    ch_s = np.zeros((r, 2 * bsum + 1), np.float32)
+    ch_s[:, bsum] = 0.9
+    ch_s[:, bsum - 1] = 0.05
+    ch_s[:, bsum + 1] = 0.05
+    out = np.asarray(dec.min_sum(ch_b, ch_s))
+    assert out.shape == (n,)
+    assert (out == 0).all()
+
+
+def test_special_decoder_recovers_secret():
+    """Nonzero secret: exact sums + mildly noisy secret priors recover s."""
+    rng = make_random_state(11)
+    from sca_ldpc_tpu.codes import make_qary_qc_parity_check_matrix
+
+    block = 16
+    b, sw = 2, 6
+    bsum = b * sw
+    H = make_qary_qc_parity_check_matrix(block, sw, 3, rng, check_blocks=1).astype(np.int8)
+    n = H.shape[1]
+    r = H.shape[0]
+    n_b = n - r
+
+    s = rng.randint(-b, b + 1, size=n_b)
+    # exact check sums: H' s + sum_var = 0  =>  sum_var = -H' s
+    sums = -(H[:, :n_b] @ s)
+    assert np.abs(sums).max() <= bsum
+
+    ch_b = np.full((n_b, 2 * b + 1), 0.02, np.float32)
+    for i, v in enumerate(s):
+        ch_b[i, v + b] = 1.0 - 0.02 * (2 * b)
+    ch_s = np.zeros((r, 2 * bsum + 1), np.float32)
+    for i, v in enumerate(sums):
+        ch_s[i, v + bsum] = 1.0
+    dec = QarySpecialDecoder(H, b=b, bsum=bsum, max_iter=10, sw=sw)
+    out = np.asarray(dec.min_sum(ch_b, ch_s))
+    assert (out[:n_b] == s).all()
+    assert (out[n_b:] == sums).all()
