@@ -53,45 +53,65 @@ class CodeLayout:
     @classmethod
     def from_h(cls, H: np.ndarray, dc: int | None = None, dv: int | None = None) -> "CodeLayout":
         H = np.asarray(H)
-        r, n = H.shape
-        rows, cols = np.nonzero(H)
+        rows, cols = np.nonzero(H)  # row-major order, matching the reference's
+        # row-scan edge insertion (decoder.rs:507-539)
         signs = H[rows, cols].astype(np.int8)
+        return cls.from_edges(H.shape[0], H.shape[1], rows, cols, signs, dc=dc, dv=dv)
+
+    @classmethod
+    def from_edges(cls, r, n, rows, cols, signs=None, dc=None, dv=None) -> "CodeLayout":
+        """Vectorized construction from an edge list in (row-major) order.
+
+        Scales to attack-sized graphs (hundreds of thousands of edges) without
+        materializing a dense H.
+        """
+        rows = np.asarray(rows, dtype=np.int64)
+        cols = np.asarray(cols, dtype=np.int64)
+        e = len(rows)
+        signs = (
+            np.ones(e, dtype=np.int8) if signs is None else np.asarray(signs, dtype=np.int8)
+        )
         deg_c = np.bincount(rows, minlength=r)
         deg_v = np.bincount(cols, minlength=n)
-        dc = int(dc if dc is not None else deg_c.max())
-        dv = int(dv if dv is not None else deg_v.max())
-        if deg_c.max() > dc or deg_v.max() > dv:
+        dc = int(dc if dc is not None else (deg_c.max() if e else 1))
+        dv = int(dv if dv is not None else (deg_v.max() if e else 1))
+        if e and (deg_c.max() > dc or deg_v.max() > dv):
             raise ValueError("H exceeds the requested dc/dv bounds")
+
+        # Slot of each edge within its check (input is row-major ordered).
+        starts_c = np.zeros(r, dtype=np.int64)
+        np.cumsum(deg_c[:-1], out=starts_c[1:])
+        chk_slot = np.arange(e) - starts_c[rows]
 
         chk_var = np.full((r, dc), n, dtype=np.int32)
         chk_sign = np.ones((r, dc), dtype=np.int8)
         chk_mask = np.zeros((r, dc), dtype=bool)
+        chk_var[rows, chk_slot] = cols
+        chk_sign[rows, chk_slot] = signs
+        chk_mask[rows, chk_slot] = True
+
+        # Variable-side slots: edges sorted by (col, row) — row order within a
+        # column matches the reference's per-variable insertion order.
+        order = np.lexsort((rows, cols))
+        cols_s = cols[order]
+        starts_v = np.zeros(n, dtype=np.int64)
+        np.cumsum(deg_v[:-1], out=starts_v[1:])
+        var_slot = np.arange(e) - starts_v[cols_s]
+
         var_flat = np.full((n, dv), r * dc, dtype=np.int32)
         var_sign = np.ones((n, dv), dtype=np.int8)
         var_mask = np.zeros((n, dv), dtype=bool)
-
-        # Edges are visited in (row, col) order, matching the reference's
-        # row-scan insertion (decoder.rs:507-539), so slot order is identical.
-        slot_in_chk = np.zeros(r, dtype=np.int32)
-        slot_in_var = np.zeros(n, dtype=np.int32)
-        for i, j, s in zip(rows, cols, signs):
-            sc = slot_in_chk[i]
-            chk_var[i, sc] = j
-            chk_sign[i, sc] = s
-            chk_mask[i, sc] = True
-            sv = slot_in_var[j]
-            var_flat[j, sv] = i * dc + sc
-            var_sign[j, sv] = s
-            var_mask[j, sv] = True
-            slot_in_chk[i] = sc + 1
-            slot_in_var[j] = sv + 1
+        flat_pos = (rows * dc + chk_slot).astype(np.int32)
+        var_flat[cols_s, var_slot] = flat_pos[order]
+        var_sign[cols_s, var_slot] = signs[order]
+        var_mask[cols_s, var_slot] = True
 
         return cls(
-            n=n,
-            r=r,
+            n=int(n),
+            r=int(r),
             dc=dc,
             dv=dv,
-            n_edges=len(rows),
+            n_edges=int(e),
             chk_var=chk_var,
             chk_sign=chk_sign,
             chk_mask=chk_mask,

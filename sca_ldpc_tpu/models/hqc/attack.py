@@ -1,0 +1,619 @@
+"""HQC key-recovery attack with an idealized decoding oracle.
+
+TPU-native re-implementation of the reference's flagship workload
+(simulate/hqc.py:987-1167 and its helpers).  The adaptive chosen-ciphertext
+search (block/bit flipping against the decoding-failure edge) is inherently
+sequential and stays on host, calling the native HQC model
+(csrc/hqc_core.cpp) for decapsulations; the periodic LDPC decode of the
+accumulated parity checks runs batched on TPU through
+:class:`~sca_ldpc_tpu.ops.binary_bp.BinaryBPDecoder`.
+
+Design deviations from the reference (behavior-preserving unless noted):
+
+- The decode matrix ``[Hgen-rows | I]`` is never materialized densely: check
+  rows are rows of a circulant, so the device layout is built directly from
+  (bit index, circulant support) pairs (hqc.py:680 builds a dense vstack).
+- The number of checks is padded to size buckets with inert identity-only
+  rows so XLA compiles once per bucket instead of once per decode attempt.
+- The reference's epsilon tuple carries a trailing-comma bug
+  (hqc.py:1005-1008 assigns ``((a, b),)``); we implement the evident intent
+  ``(a, b)``.
+"""
+
+import itertools
+import logging
+import pickle
+from math import isnan, prod
+
+import numpy as np
+
+from ...codes.layout import CodeLayout
+from ...codes.make_code import random_circulant_first_row
+from ...ops.binary_bp import BinaryBPDecoder
+from ...utils import make_random_state
+from .model import Hqc128, Hqc192, Hqc256
+from .tracking import (
+    FlipStatus,
+    HqcSimulationParams,
+    HqcSimulationTracking,
+    IfFlipResult,
+    NoMoreUntestedRmBlocks,
+)
+
+logger = logging.getLogger(__name__)
+
+
+# ---------------------------------------------------------------------------
+# Sparse GF(2)[x]/(x^N - 1) helpers (reference: hqc.py:924-950, 1172-1198)
+# ---------------------------------------------------------------------------
+
+
+def sparse_times_sparse(A, B, N, mod=2):
+    """Cyclic product of two sparse vectors (index lists).
+
+    >>> sparse_times_sparse([3, 5, 9], [0, 2], N=10, mod=None)
+    [1, 3, 5, 5, 7, 9]
+    >>> sparse_times_sparse([3, 5, 9], [0, 2], N=10, mod=2)
+    [1, 3, 7, 9]
+    """
+    out = []
+    for b in B:
+        out.extend((a + b) % N for a in A)
+    if mod:
+        from collections import Counter
+
+        counts = Counter(out)
+        out = [k for k, v in counts.items() for _ in range(v % mod)]
+    out.sort()
+    return out
+
+
+def shift_and_add_mod_2_sparse(y, j, n):
+    """y + (y <<rot j) over GF(2), sparse form.
+
+    >>> shift_and_add_mod_2_sparse([1, 5, 8, 12], 3, 15)
+    [0, 1, 4, 5, 11, 12]
+    """
+    merged = sorted(y + [(yi + j) % n for yi in y])
+    out = []
+    i = 0
+    while i < len(merged):
+        if i + 1 < len(merged) and merged[i] == merged[i + 1]:
+            i += 2
+        else:
+            out.append(merged[i])
+            i += 1
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Ciphertext bit manipulation (reference: hqc.py:127-158, 373-377)
+# ---------------------------------------------------------------------------
+
+
+def toggle_bits_in_v(ciphertext, bits, u_size):
+    """Flip bits of the v part (bit indexing skips the byte-aligned u part).
+
+    >>> toggle_bits_in_v(bytearray((0xff, 0xff, 0xff)), [0, 6], 9).hex()
+    'ffffbe'
+    """
+    ct = bytearray(ciphertext)
+    startat = u_size + (8 - (u_size % 8))
+    for bit in bits:
+        pos = bit + startat
+        ct[pos // 8] ^= 1 << (bit % 8)
+    return ct
+
+
+def toggle_outer_block(ciphertext, block, u_size, block_size):
+    """Flip one whole N2-bit outer (RM) block of v.
+
+    >>> toggle_outer_block(bytearray((0xff, 0xff, 0xfe, 0xfe)), 0, 9, 10).hex()
+    'ffff01fd'
+    """
+    return toggle_bits_in_v(
+        ciphertext, range(block_size * block, block_size * (block + 1)), u_size
+    )
+
+
+def flip_single_bit(ct, block, bit, N, N2):
+    return toggle_bits_in_v(ct, [block * N2 + bit], N)
+
+
+# ---------------------------------------------------------------------------
+# Keys and plaintexts (reference: hqc.py:74-124)
+# ---------------------------------------------------------------------------
+
+
+def read_or_generate_keypair(HQC, filename=None):
+    if filename:
+        try:
+            with open(filename, "rb") as f:
+                key = pickle.load(f)
+                logger.info(f"Loaded existing key from {filename}")
+                return key
+        except Exception:
+            pass
+        key = HQC.keypair()  # randomness independent of --seed, like reference
+        with open(filename, "wb") as f:
+            pickle.dump(key, f)
+        logger.info(f"Created random HQC keypair in {filename}")
+        return key
+    logger.info("Generating random HQC keypair (independent of provided seed)")
+    return HQC.keypair()
+
+
+def search_distinguishable_plaintext(HQC, rng, target_additional_seedexpansions=3):
+    """Random-search a plaintext whose encryption randomness needs
+    ``target`` extra seed expansions — the timing-distinguishable class.
+
+    Matches hqc.py:96-124 (including the 3-expansion baseline).
+    """
+    ptlen = len(HQC.new_plaintext())
+    distr = {}
+    for attempt in itertools.count():
+        pt = rng.bytes(ptlen)
+        extra = (HQC.num_rejections(pt) // 1000) - 3
+        distr[extra] = distr.get(extra, 0) + 1
+        if extra >= target_additional_seedexpansions:
+            logger.debug(f"Seedexpansion distribution: {distr}")
+            logger.debug(f"Found distinguishable plaintext at attempt {attempt}")
+            return pt
+
+
+# ---------------------------------------------------------------------------
+# The oracle (reference: hqc.py:782-871)
+# ---------------------------------------------------------------------------
+
+
+class HqcOracle:
+    """Idealized decoding oracle with epsilon false-positive/negative noise
+    and certainty-amplified querying.
+
+    ``epsilon = (p_keep_false, p_keep_true)``: probability the raw answer is
+    NOT inverted, conditioned on the true answer (hqc.py:830-831, 859-864).
+    """
+
+    def __init__(self, params: HqcSimulationParams, tracking, priv, pt, rng):
+        self.params = params
+        self.tracking = tracking
+        self.priv = priv
+        self.pt = bytes(pt)
+        self.rng = rng
+        self.assert_raises = True
+
+    def inner(self, ct, debug=False):
+        """One decapsulation; returns (answer, certainty of that answer)."""
+        pt_prime, _rs_enc, _rm_dec, _inp, _u, _v = self.params.HQC.decode_intermediates(
+            ct, self.priv
+        )
+        result = self.pt == bytes(pt_prime)
+        keep_rate = self.params.EPSILON[int(result)]
+        invert = self.rng.rand() > keep_rate
+        if not debug:
+            self.tracking.num_oracle_calls += 1
+            if invert:
+                logger.debug(
+                    f"Inverting oracle decision (originally {result}), keep rate {keep_rate}"
+                )
+                result = not result
+        return result, keep_rate
+
+    def query(self, ct, require_false=0.5, require_true=0.5, result_meta=None, debug=False):
+        """Repeat the oracle until the accumulated certainty of the winning
+        answer reaches its threshold: certainty = 1 - prod(1 - p_i)
+        (hqc.py:782-807)."""
+        require = (require_false, require_true)
+        collected = ([], [])
+        tries = 0
+        while True:
+            tries += 1
+            result, certainty = self.inner(ct, debug=debug)
+            collected[result].append(certainty)
+            acc = 1.0 - prod(1.0 - p for p in collected[result])
+            if acc >= require[result]:
+                if isinstance(result_meta, dict):
+                    result_meta["certainty"] = acc
+                return result
+
+    def assert_success(self, expect, ct):
+        """Validate an assumed oracle state at very high certainty;
+        downgraded to a warning under epsilon noise (hqc.py:56-71)."""
+        result = self.query(ct, require_false=0.9999, require_true=0.9999, debug=True)
+        if self.assert_raises:
+            assert result == expect, f"oracle state assertion failed (expected {expect})"
+        elif result != expect:
+            logger.warning(f'Failed assertion "decoding success = {expect}"')
+
+
+# ---------------------------------------------------------------------------
+# Block / bit search (reference: hqc.py:267-658)
+# ---------------------------------------------------------------------------
+
+
+def next_failure_block(params, tracking, oracle, rng, ct):
+    """Flip blocks up to OUTER_DECODING_LIMIT, then find one more whose flip
+    tips decoding into failure (hqc.py:267-339)."""
+    limit = params.OUTER_DECODING_LIMIT
+    oracle.assert_success(True, ct)
+
+    evaluated = [
+        i
+        for i in range(params.N1)
+        if tracking.block_status[i]["status"] == FlipStatus.UNFLIPPED
+        and tracking.block_status[i]["result"] != IfFlipResult.UNKNOWN
+    ]
+    flipped = 0
+    for block in rng.choice(evaluated, min(len(evaluated), limit), replace=False):
+        flipped += 1
+        logger.info(f"Flipping outer block {block} (evaluated)")
+        ct = toggle_outer_block(ct, block, params.N, params.N2)
+        tracking.block_status[block]["status"] = FlipStatus.FLIPPED
+
+    unknown = [
+        i
+        for i in range(params.N1)
+        if tracking.block_status[i]["status"] == FlipStatus.UNFLIPPED
+        and tracking.block_status[i]["result"] == IfFlipResult.UNKNOWN
+    ]
+    for block in rng.choice(unknown, len(unknown), replace=False):
+        flipped += 1
+        logger.info(f"Flipping outer block {block} (unknown)")
+        ct = toggle_outer_block(ct, block, params.N, params.N2)
+        tracking.block_status[block]["status"] = FlipStatus.FLIPPED
+        if flipped == limit:
+            oracle.assert_success(True, ct)
+        elif flipped == limit + 1:
+            oracle.assert_success(False, ct)
+            ct = toggle_outer_block(ct, block, params.N, params.N2)
+            tracking.block_status[block]["status"] = FlipStatus.UNFLIPPED
+            tracking.block_status[block]["result"] = IfFlipResult.FAILURE
+            logger.info(f"Decoding failure by flipping block {block}")
+            return block, ct
+    return None
+
+
+def reset_full_block_flips(params, tracking, ct):
+    for block, bs in enumerate(tracking.block_status):
+        if bs["status"] == FlipStatus.FLIPPED:
+            ct = toggle_outer_block(ct, block, params.N, params.N2)
+            bs["status"] = FlipStatus.UNFLIPPED
+    return ct
+
+
+def reset_current_block(params, tracking, ct):
+    for bit, b in enumerate(tracking.current_bits_status()):
+        if b["status"] == FlipStatus.FLIPPED:
+            ct = flip_single_bit(ct, tracking.current_block_nr, bit, params.N, params.N2)
+            b["status"] = FlipStatus.UNFLIPPED
+    return ct
+
+
+def next_failure_bit(params, tracking, oracle, rng, ct):
+    """Flip unflipped bits of the current block until decoding fails
+    (hqc.py:458-531).  Flipped-but-inconclusive bits stay flipped."""
+    oracle.assert_success(True, ct)
+    bits = tracking.current_bits_status()
+    available = [
+        i
+        for i, b in enumerate(bits)
+        if b["result"] == IfFlipResult.UNKNOWN and b["status"] == FlipStatus.UNFLIPPED
+    ]
+    for bit in rng.choice(available, len(available), replace=False):
+        ct = flip_single_bit(ct, tracking.current_block_nr, bit, params.N, params.N2)
+        bits[bit]["status"] = FlipStatus.FLIPPED
+        if not oracle.query(ct, require_false=0.99999, result_meta=bits[bit]):
+            bits[bit]["result"] = IfFlipResult.FAILURE
+            logger.info(
+                f"Decoding failure by flipping bit {bit} in block {tracking.current_block_nr}"
+            )
+            oracle.assert_success(False, ct)
+            return bit, bits[bit]["status"], ct
+    return None
+
+
+def find_minimal_failure_flips(params, tracking, oracle, ct, save_results=True):
+    """Strip the failure pattern to a minimal one; bits whose unflip restores
+    success are check-value-0 information (hqc.py:534-605)."""
+    oracle.assert_success(False, ct)
+    bits = tracking.current_bits_status()
+    available = [
+        i
+        for i, b in enumerate(bits)
+        if b["result"] == IfFlipResult.UNKNOWN and b["status"] == FlipStatus.FLIPPED
+    ]
+    successes = []
+    for bit in available:
+        ctmod = flip_single_bit(ct, tracking.current_block_nr, bit, params.N, params.N2)
+        if oracle.query(
+            ctmod, require_false=0.9999, require_true=0.99, result_meta=bits[bit]
+        ):
+            if save_results:
+                bits[bit]["result"] = IfFlipResult.SUCCESS
+                logger.info(
+                    f"Decoding success if unflipping bit {bit} in block "
+                    f"{tracking.current_block_nr} check = 0"
+                )
+                successes.append((bit, bits[bit]["certainty"]))
+        else:
+            bits[bit]["status"] = FlipStatus.UNFLIPPED
+            ct = ctmod  # fewer flips, still failing
+    return successes, ct
+
+
+def find_successes_by_flipping(params, tracking, oracle, ct):
+    """From the minimal failure pattern, bits whose flip restores success are
+    check-value-1 information (hqc.py:608-658)."""
+    oracle.assert_success(False, ct)
+    bits = tracking.current_bits_status()
+    available = [
+        i
+        for i, b in enumerate(bits)
+        if b["result"] == IfFlipResult.UNKNOWN and b["status"] == FlipStatus.UNFLIPPED
+    ]
+    successes, failures = [], []
+    for bit in available:
+        ctmod = flip_single_bit(ct, tracking.current_block_nr, bit, params.N, params.N2)
+        if oracle.query(
+            ctmod, require_false=0.99, require_true=0.999, result_meta=bits[bit]
+        ):
+            bits[bit]["result"] = IfFlipResult.SUCCESS
+            logger.info(
+                f"Decoding success if flipping bit {bit} in block "
+                f"{tracking.current_block_nr} check = 1"
+            )
+            successes.append((bit, bits[bit]["certainty"]))
+        else:
+            bits[bit]["result"] = IfFlipResult.FAILURE
+            failures.append((bit, bits[bit]["certainty"]))
+    return successes, failures
+
+
+# ---------------------------------------------------------------------------
+# Check accumulation and the TPU decode (reference: hqc.py:661-759, 885-984)
+# ---------------------------------------------------------------------------
+
+
+def _bucket(r, step=256):
+    return max(step, ((r + step - 1) // step) * step)
+
+
+class CheckDecoder:
+    """Accumulates parity checks (rows of the circulant Hgen) and decodes
+    ``[Hgen-rows | I]`` with per-position priors on TPU.
+
+    Avoids densifying H: each check row ``bit_n`` of ``circulant(first_row)``
+    has support ``{(bit_n - k) mod N : k in supp(first_row)}``.  The check
+    count is padded to a size bucket with inert identity-only rows so the
+    jitted decoder compiles once per bucket.
+    """
+
+    def __init__(self, params, shifts):
+        self.params = params
+        self.shifts = np.asarray(sorted(shifts), dtype=np.int64)
+
+    def decode(self, tracking, check_bits, checks, y_sparse):
+        params = self.params
+        N = params.N
+        w = len(self.shifts)
+        R = len(checks)
+        R_pad = _bucket(R)
+
+        cols_h = np.sort((np.asarray(check_bits)[:, None] - self.shifts[None, :]) % N, axis=1)
+        rows = np.concatenate(
+            [np.repeat(np.arange(R), w + 1), np.arange(R, R_pad)]
+        )
+        cols = np.concatenate(
+            [
+                np.concatenate([cols_h, (N + np.arange(R))[:, None]], axis=1).reshape(-1),
+                N + np.arange(R, R_pad),
+            ]
+        )
+        layout = CodeLayout.from_edges(R_pad, N + R_pad, rows, cols, dc=w + 1)
+
+        prob_one = len(y_sparse) / N
+        channel = np.empty(N + R_pad, dtype=np.float32)
+        channel[:N] = prob_one
+        channel[N : N + R] = [1.0 - p for (_c, p) in checks]
+        channel[N + R :] = 1e-9  # inert padding rows: error prob ~ 0
+        np.clip(channel, 1e-9, 1 - 1e-9, out=channel)
+
+        msg = np.zeros(N + R_pad, dtype=np.int32)
+        msg[N : N + R] = [c for (c, _p) in checks]
+
+        logger.info(f"Attempting decode with {R} checks (padded to {R_pad}).")
+        dec = BinaryBPDecoder(layout, max_iter=100, method="product_sum", channel_probs=channel)
+        decoded = np.asarray(dec.decode_received(msg))
+
+        # Statistics identical to hqc.py:709-758
+        good_flips = bad_flips = 0
+        unsatisfied = 0
+        found_bad_sat = found_bad_unsat = 0
+        y_set = set(int(v) for v in y_sparse)
+        decoded_y = decoded[:N]
+        for i in np.flatnonzero(decoded_y):
+            if int(i) in y_set:
+                good_flips += 1
+            else:
+                bad_flips += 1
+        for i, (c, _p) in enumerate(checks):
+            x = decoded[N + i]
+            if c:
+                unsatisfied += 1
+                if not x:
+                    found_bad_unsat += 1
+            elif x:
+                found_bad_sat += 1
+
+        success = set(np.flatnonzero(decoded_y).tolist()) == y_set
+        logger.info(
+            f"Decoded with {R} checks: {good_flips} good / {bad_flips} bad flips, "
+            f"{found_bad_sat + found_bad_unsat} suspected measurement errors, "
+            f"success={success}"
+        )
+        tracking.add_decoder_stats(
+            R, unsatisfied, good_flips, bad_flips, found_bad_sat, found_bad_unsat, success
+        )
+        return success
+
+
+def add_check(check_bits, checks, y_times_r1, bit_n, check, certainty):
+    """Record one measured parity check; warn on cheating-validated errors
+    (hqc.py:885-908)."""
+    if y_times_r1 is not None:
+        bit_set = bit_n in y_times_r1
+        if check != bit_set:
+            lvl = logger.error if certainty == 1.0 else logger.warning
+            lvl(
+                f"Certainty {certainty} gave a false result for bit {bit_n}: "
+                f"check={check}, true value={bit_set}"
+            )
+    logger.info(f"Adding to H the check={check} corresponding to bit {bit_n}.")
+    check_bits.append(bit_n)
+    checks.append((check, certainty))
+
+
+def add_checks(
+    params,
+    tracking,
+    decoder: CheckDecoder,
+    check_value,
+    bits,
+    check_bits,
+    checks,
+    y_sparse,
+    y_times_r1,
+):
+    """Add measured bits as checks; attempt a decode every DECODE_EVERY
+    (hqc.py:953-984).  Returns True on key recovery."""
+    previous_decoding = 0
+    for b, certainty in bits:
+        bit_n = tracking.current_block_nr * params.N2 + b
+        add_check(check_bits, checks, y_times_r1, bit_n, check_value, certainty)
+        R = len(checks)
+        if R % params.DECODE_EVERY == 0 and R != 0 and previous_decoding != R:
+            previous_decoding = R
+            unsatisfied = sum(c for (c, _p) in checks)
+            logger.info(
+                f"{tracking.num_oracle_calls} decapsulation calls so far, "
+                f"{unsatisfied} unsatisfied checks out of {R}."
+            )
+            if decoder.decode(tracking, check_bits, checks, y_sparse):
+                logger.info("Successfully decoded y")
+                return True
+    return False
+
+
+# ---------------------------------------------------------------------------
+# Driver (reference: hqc.py:987-1167)
+# ---------------------------------------------------------------------------
+
+PARAM_SETS = {
+    "128": (Hqc128, 15),
+    "192": (Hqc192, 16),
+    "256": (Hqc256, 29),
+}
+
+
+def make_params(param_set, decode_every, weight, error_rate=0.0):
+    noise = 1.0 - (0.0 if isnan(error_rate) else error_rate)
+    if isnan(error_rate):
+        epsilon = (1.0, 1.0)
+    else:
+        # Idealized-oracle accuracies from the CHES2022 characterization,
+        # scaled by measurement noise (hqc.py:1002-1008 — minus its
+        # trailing-comma tuple bug).
+        epsilon = (0.9942 * noise, 1.0 * noise)
+    HQC, limit = PARAM_SETS[str(param_set)]
+    return HqcSimulationParams(
+        HQC=HQC,
+        OUTER_DECODING_LIMIT=limit,
+        EPSILON=epsilon,
+        DECODE_EVERY=decode_every,
+        WEIGHT=weight,
+    )
+
+
+def simulate_hqc_idealized_oracle(
+    rng,
+    decode_every: int,
+    weight: int,
+    keyfile=None,
+    error_rate=0.0,
+    param_set="128",
+    max_oracle_calls=None,
+):
+    """Full idealized-oracle key-recovery attack.  Returns (success, tracking).
+
+    ``max_oracle_calls`` bounds the run (None = run to recovery, like the
+    reference)."""
+    rng = make_random_state(rng)
+    params = make_params(param_set, decode_every, weight, error_rate)
+    logger.info(f"Params {params}")
+    tracking = HqcSimulationTracking(params)
+
+    pub, priv = read_or_generate_keypair(params.HQC, keyfile)
+    _x, y_sparse = params.HQC.secrets_from_key(priv)
+    y_sparse = sorted(y_sparse)
+    logger.info(f"y weight: {len(y_sparse)}, y bits: {y_sparse}")
+
+    check_bits = []  # circulant row index per accumulated check
+    checks = []  # (value, certainty) per check
+
+    while True:
+        pt = search_distinguishable_plaintext(params.HQC, rng)
+
+        logger.info(f"Create random (L/M)DPC parity check of size {params.N}")
+        first_row = random_circulant_first_row(params.N, weight, rng)
+        decoder = CheckDecoder(params, np.flatnonzero(first_row))
+
+        r1_sparse = sorted(int(i) for i in np.flatnonzero(first_row))
+        assert weight == len(r1_sparse)
+        ct, _ss = params.HQC.encaps_with_plaintext_and_r1(pub, pt, r1_sparse)
+
+        y_times_r1 = sparse_times_sparse(y_sparse, r1_sparse, params.N)
+        oracle = HqcOracle(params, tracking, priv, pt, rng)
+        if not isnan(error_rate) and error_rate > 0.0:
+            oracle.assert_raises = False
+
+        tracking.reset_block_status()
+        try:
+            while True:
+                if max_oracle_calls and tracking.num_oracle_calls > max_oracle_calls:
+                    logger.warning("Oracle-call budget exhausted; stopping")
+                    return False, tracking
+                ret = next_failure_block(params, tracking, oracle, rng, ct)
+                if ret is None:
+                    raise NoMoreUntestedRmBlocks
+                current_block, ct = ret
+                tracking.set_current_block_nr(current_block)
+
+                ret = next_failure_bit(params, tracking, oracle, rng, ct)
+                if ret is None:
+                    tracking.current_block()["status"] = FlipStatus.UNFLIPPED
+                    oracle.assert_success(True, ct)
+                    break
+                _bit, _status, ct = ret
+
+                successes, ct = find_minimal_failure_flips(
+                    params, tracking, oracle, ct, save_results=True
+                )
+                if add_checks(
+                    params, tracking, decoder, 0, successes, check_bits, checks,
+                    y_sparse, y_times_r1,
+                ):
+                    return True, tracking
+
+                successes, _failures = find_successes_by_flipping(
+                    params, tracking, oracle, ct
+                )
+                if add_checks(
+                    params, tracking, decoder, 1, successes, check_bits, checks,
+                    y_sparse, y_times_r1,
+                ):
+                    return True, tracking
+
+                ct = reset_current_block(params, tracking, ct)
+                ct = reset_full_block_flips(params, tracking, ct)
+        except NoMoreUntestedRmBlocks:
+            continue

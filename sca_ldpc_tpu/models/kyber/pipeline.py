@@ -1,0 +1,143 @@
+"""End-to-end Kyber-768 key-recovery pipeline.
+
+Assembles the pieces the reference provides (kyber.py:362-435) and completes
+the integration it leaves stubbed (get_decoder raises NotImplementedError at
+kyber.py:379-381; the paper used DecoderN1280R512SW6): channel assembly,
+decoder selection over our batched q-ary special decoder, and a full
+simulated attack: sample secret -> build [H'|I] -> simulate noisy oracle
+measurements from the pattern databases -> posteriors -> batched decode ->
+recovery statistics.
+"""
+
+import logging
+
+import numpy as np
+
+from ...ops.qary_special import QarySpecialDecoder
+from ...utils import make_random_state
+from .params import BLOCK_LEN, ETA, NUM_BLOCKS, secret_range
+from .patterns import coding_from_patterns, get_patterns
+from .posterior import posteriors_from_hard
+from .secrets import (
+    compute_ssum,
+    gen_ldpc_matrix,
+    generate_secret,
+    secret_distribution,
+)
+
+logger = logging.getLogger(__name__)
+
+
+def get_channel_probabilities(s_distr, ssum_distr, sum_weight, check_blocks):
+    """Assemble decoder channel tables (kyber.py:362-376).
+
+    The sum distributions are reversed so each check's symbols sum to zero —
+    the special decoder's identity column carries -ssum."""
+    assert len(s_distr) == NUM_BLOCKS
+    assert len(s_distr[0]) == BLOCK_LEN
+    ssum_len = BLOCK_LEN * check_blocks
+    assert len(ssum_distr) == ssum_len
+    B = sum_weight * ETA
+    channel = np.zeros((BLOCK_LEN * NUM_BLOCKS, 2 * ETA + 1), np.float32)
+    channel_sum = np.zeros((ssum_len, 2 * B + 1), np.float32)
+    for j in range(NUM_BLOCKS):
+        for i in range(BLOCK_LEN):
+            channel[i + j * BLOCK_LEN] = s_distr[j][i]
+    for i in range(ssum_len):
+        channel_sum[i] = ssum_distr[i][::-1]
+    return channel, channel_sum
+
+
+def get_decoder(sum_weight, H, check_blocks, iterations):
+    """Decoder for the Kyber attack geometry — the component the reference
+    leaves unimplemented (kyber.py:379-435).  Any (sum_weight, check_blocks)
+    combination works; shapes are validated against H."""
+    H = np.asarray(H, dtype=np.int8)
+    r = BLOCK_LEN * check_blocks
+    n = BLOCK_LEN * NUM_BLOCKS + r
+    if H.shape != (r, n):
+        raise ValueError(f"H shape {H.shape} does not match (r={r}, n={n})")
+    b = ETA
+    bsum = sum_weight * ETA
+    return QarySpecialDecoder(H, b=b, bsum=bsum, max_iter=iterations, sw=sum_weight)
+
+
+def simulate_measurements(s_flat, pattern, accuracy, rng):
+    """Simulate noisy binary oracle measurements of each secret coefficient
+    under ``pattern`` with the given oracle accuracy."""
+    coding = coding_from_patterns(pattern, sum_weight=1)
+    m = len(coding[0])
+    true_bits = np.array([coding[int(v)] for v in s_flat])  # [n, m]
+    flips = rng.rand(*true_bits.shape) > accuracy
+    return np.where(flips, 1 - true_bits, true_bits)
+
+
+def simulate_sum_measurements(ssum, pattern_sum, accuracy, rng, sum_weight):
+    coding = coding_from_patterns(pattern_sum, sum_weight=sum_weight)
+    m = len(coding[0])
+    true_bits = np.array([coding[int(v)] for v in ssum])
+    flips = rng.rand(*true_bits.shape) > accuracy
+    return np.where(flips, 1 - true_bits, true_bits)
+
+
+def simulate_kyber_attack(
+    rng,
+    accuracy=0.95,
+    num_patterns=3,
+    num_patterns_sum=3,
+    sum_weight=6,
+    check_blocks=2,
+    iterations=10,
+    runs=1,
+):
+    """Full simulated Kyber-768 attack; returns per-run recovery stats.
+
+    Each run: sample secret s, build [H'|I], compute ssum = H's, simulate
+    noisy oracle measurements of every coefficient and sum, convert to
+    posteriors, decode with the two-alphabet min-sum decoder, compare.
+    """
+    rng = make_random_state(rng)
+    patterns = get_patterns(ETA, accuracy, num_patterns, num_patterns_sum, sum_weight)
+    H = gen_ldpc_matrix(sum_weight, rng, check_blocks)
+    decoder = get_decoder(sum_weight, H, check_blocks, iterations)
+
+    prior_single = secret_distribution(1)
+    prior_sum = secret_distribution(sum_weight)
+    coding_single = coding_from_patterns(patterns["pattern"], 1)
+    coding_sum = coding_from_patterns(patterns["pattern_sum"], sum_weight)
+
+    n_b = BLOCK_LEN * NUM_BLOCKS
+    results = []
+    for _run in range(runs):
+        s = generate_secret(rng=rng)
+        ssum = compute_ssum(s, H, check_blocks)
+        s_flat = np.array(s).reshape(-1)
+
+        meas = simulate_measurements(s_flat, patterns["pattern"], accuracy, rng)
+        meas_sum = simulate_sum_measurements(
+            ssum, patterns["pattern_sum"], accuracy, rng, sum_weight
+        )
+
+        post = posteriors_from_hard(meas, coding_single, prior_single, accuracy)
+        post_sum = posteriors_from_hard(meas_sum, coding_sum, prior_sum, accuracy)
+
+        s_distr = [post[j * BLOCK_LEN : (j + 1) * BLOCK_LEN] for j in range(NUM_BLOCKS)]
+        channel, channel_sum = get_channel_probabilities(
+            s_distr, post_sum, sum_weight, check_blocks
+        )
+
+        decoded = np.asarray(decoder.min_sum(channel, channel_sum))
+        correct = int((decoded[:n_b] == s_flat).sum())
+        recovered = correct == n_b
+        results.append(
+            {
+                "recovered": recovered,
+                "correct_coefficients": correct,
+                "total_coefficients": n_b,
+            }
+        )
+        logger.info(
+            f"Kyber attack run: {correct}/{n_b} coefficients correct, "
+            f"full recovery={recovered}"
+        )
+    return results

@@ -87,6 +87,7 @@ def simulate_frame_error_rate_qary(
     rng,
     iterations=5,
     batch_size=None,
+    host_sampling=False,
 ):
     """Q-ary FER on the all-zero codeword with good/bad symbol distributions.
 
@@ -94,6 +95,11 @@ def simulate_frame_error_rate_qary(
     distribution (correct symbol boosted) or, with probability ``error_rate``,
     the "bad" one (max symbol boosted); frames with zero noisy symbols are
     resampled.  Returns ``(successes, max_errs_success, min_errs_fail)``.
+
+    ``host_sampling=True`` replays the reference's exact per-position
+    ``rng.rand()`` stream (decode.py:250-259) so fixed seeds reproduce its
+    frames bit-for-bit; the default samples on device (statistically
+    identical, much faster at scale).
     """
     H = np.asarray(H)
     n = H.shape[1]
@@ -117,14 +123,25 @@ def simulate_frame_error_rate_qary(
         cur = min(batch, runs - done)
         # Bernoulli error mask per position; resample frames with no errors
         # like the reference (decode.py:258-259).
-        key = rng_to_jax_key(rng)
-        mask = np.asarray(jax.random.bernoulli(key, error_rate, (cur, n)))
-        empty = ~mask.any(axis=1)
-        while empty.any():
+        if host_sampling:
+            mask = np.zeros((cur, n), dtype=bool)
+            for f in range(cur):
+                while True:
+                    row = np.array([rng.rand() < error_rate for _ in range(n)])
+                    if row.any():
+                        mask[f] = row
+                        break
+        else:
             key = rng_to_jax_key(rng)
-            redo = np.asarray(jax.random.bernoulli(key, error_rate, (int(empty.sum()), n)))
-            mask[empty] = redo
+            mask = np.array(jax.random.bernoulli(key, error_rate, (cur, n)))
             empty = ~mask.any(axis=1)
+            while empty.any():
+                key = rng_to_jax_key(rng)
+                redo = np.asarray(
+                    jax.random.bernoulli(key, error_rate, (int(empty.sum()), n))
+                )
+                mask[empty] = redo
+                empty = ~mask.any(axis=1)
         errs = mask.sum(axis=1)
 
         channel = np.where(mask[:, :, None], bad[None, None, :], good[None, None, :])

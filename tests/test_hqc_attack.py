@@ -1,0 +1,59 @@
+"""HQC attack decode-path conformance.
+
+Ports the reference's embedded integration tests:
+- toy decode (hqc.py:1229-1274, N_OVERRIDE=20): all-position checks with
+  certainty 1 recover a small y.
+- full decode (hqc.py:1277-1311): perfect value-1 checks on the real
+  HQC-128 N recover a random weight-OMEGA y.
+"""
+
+import numpy as np
+import pytest
+
+from sca_ldpc_tpu.codes.make_code import (
+    make_random_ldpc_parity_check_matrix,
+    random_circulant_first_row,
+)
+from sca_ldpc_tpu.models.hqc import Hqc128, sparse_times_sparse
+from sca_ldpc_tpu.models.hqc.attack import CheckDecoder, add_check
+from sca_ldpc_tpu.models.hqc.tracking import HqcSimulationParams, HqcSimulationTracking
+from sca_ldpc_tpu.utils import make_random_state
+
+
+def _run_decode(params, first_row, y_sparse, only_ones):
+    tracking = HqcSimulationTracking(params)
+    shifts = np.flatnonzero(first_row)
+    decoder = CheckDecoder(params, shifts)
+    r1_sparse = [int(i) for i in shifts]
+    y_times_r1 = sparse_times_sparse(sorted(y_sparse), r1_sparse, params.N)
+
+    check_bits, checks = [], []
+    for bit_n in range(params.N):
+        value = bit_n in y_times_r1
+        if value or not only_ones:
+            add_check(check_bits, checks, y_times_r1, bit_n, value, certainty=1.0)
+    return decoder.decode(tracking, check_bits, checks, sorted(y_sparse)), tracking
+
+
+def test_toy_decode():
+    """hqc.py:1229-1274 with N_OVERRIDE=20."""
+    params = HqcSimulationParams(Hqc128, None, None, None, WEIGHT=3, N_OVERRIDE=20)
+    rng = make_random_state(0)
+    y_sparse = [4, 5, 7, 9]
+    Hgen = make_random_ldpc_parity_check_matrix(params.N, params.WEIGHT, rng)
+    ok, tracking = _run_decode(params, Hgen[0], y_sparse, only_ones=False)
+    assert ok
+    assert tracking.decoder_stats[-1]["success"]
+    assert tracking.decoder_stats[-1]["good_flips"] == len(y_sparse)
+    assert tracking.decoder_stats[-1]["bad_flips"] == 0
+
+
+def test_full_decode():
+    """hqc.py:1277-1311: full N=17669, perfect checks for value-1 bits only."""
+    params = HqcSimulationParams(Hqc128, None, None, None, WEIGHT=3)
+    rng = make_random_state(0)
+    OMEGA = Hqc128.params("OMEGA")
+    y_sparse = rng.choice(params.N, OMEGA, replace=False)
+    first_row = random_circulant_first_row(params.N, params.WEIGHT, rng)
+    ok, tracking = _run_decode(params, first_row, list(map(int, y_sparse)), only_ones=True)
+    assert ok

@@ -80,13 +80,47 @@ def test_medium_decoder_450():
 
 
 def test_qary_fer_simulation():
-    """decode.py:192-209 doctest configuration: 1 run at rate 0.005 succeeds."""
+    """decode.py:192-209 doctest: seed 1, one run at rate 0.005 -> 1 success.
+
+    host_sampling replays the reference's exact RNG stream, so this decodes
+    the reference's exact frame (errors at positions 343 and 433)."""
     rng = make_random_state(1)
     H = make_regular_ldpc_parity_check_matrix_identity(300, 150, 3, 6, rng)
     successes, max_ok, min_fail = simulate_frame_error_rate_qary(
-        H, 1, 0.005, 1, rng, iterations=5
+        H, 1, 0.005, 1, rng, iterations=5, host_sampling=True
     )
     assert successes == 1
+    assert max_ok == 2
+
+
+def test_qary_matches_enumeration_reference():
+    """Conformance against a direct Python model of the Rust enumeration
+    semantics (decoder.rs:560-666): exact agreement on 1-iteration messages
+    and on full decodes of non-marginal (single-error) frames."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from qary_reference import ref_min_sum
+
+    rng = make_random_state(3)
+    H = make_regular_ldpc_parity_check_matrix_identity(30, 15, 3, 6, rng).astype(np.int8)
+    n = H.shape[1]
+    b = 1
+    q = 3
+    p = 1.0 / q
+    good = np.full(q, p, np.float32)
+    bad = np.full(q, p, np.float32)
+    good[[b, -1]] = [1.75 * p, 0.25 * p]
+    bad[[-1, b]] = [1.75 * p, 0.25 * p]
+
+    dec1 = QaryDecoder(H, b, 1)
+    dec5 = QaryDecoder(H, b, 5)
+    for trial in range(5):
+        ch = np.tile(good, (n, 1)).astype(np.float32)
+        ch[rng.choice(n, 1, replace=False)] = bad
+        assert (ref_min_sum(H, b, 1, ch) == np.asarray(dec1.min_sum(ch))).all()
+        assert (ref_min_sum(H, b, 5, ch) == np.asarray(dec5.min_sum(ch))).all()
 
 
 def test_signed_entries_decode():
