@@ -1,0 +1,150 @@
+#!/usr/bin/env python
+"""North-star benchmark: decoded frames/s/chip on the HQC-128 parity-check
+code at matched FER (BASELINE.md).
+
+Workload: syndrome BP decode of the HQC-128 attack code
+[circulant(N=17669, weight=20) | I_N] (35,338 columns), product-sum, up to 30
+iterations with per-frame early termination, error rate 0.002 — the hot loop
+of both the FER simulations (decode.py:130-177) and the attack's periodic
+decode (hqc.py:661-759).
+
+Baseline: the reference's decoder is the ldpc PyPI package's C bp_decoder
+driven one frame per Python call (not installed here; its per-frame
+edge-sweep structure is reproduced as a vectorized NumPy reference decoder,
+which is generous to it).  TPU path: batched rolled-plane circulant decoder.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def build_code(seed=0, n=17669, weight=20):
+    from sca_ldpc_tpu.codes.layout import CirculantLayout
+    from sca_ldpc_tpu.codes.make_code import random_circulant_first_row
+    from sca_ldpc_tpu.utils import make_random_state
+
+    first_row = random_circulant_first_row(n, weight, make_random_state(seed))
+    return CirculantLayout.from_first_row(first_row, with_identity=True)
+
+
+# ---------------------------------------------------------------------------
+# CPU reference: per-frame product-sum BP with the same schedule/early exit
+# ---------------------------------------------------------------------------
+
+
+def cpu_reference_decode(lay, prior_llr, syndrome, max_iter=30):
+    """One frame, NumPy product-sum syndrome BP on the circulant layout."""
+    n = lay.n
+    w = lay.weight
+    shifts = np.asarray(lay.shifts)
+    pc = prior_llr[:n]
+    pi = prior_llr[n:]
+    v2c = np.stack([np.roll(pc, k) for k in shifts])  # [w, n] check-major
+    sgn_syn = 1.0 - 2.0 * syndrome
+
+    def phi(x):
+        x = np.clip(x, 1e-9, 60.0)
+        return -np.log(np.tanh(0.5 * x))
+
+    e_c = (pc < 0).astype(int)
+    e_i = (pi < 0).astype(int)
+    for it in range(max_iter):
+        planes = np.concatenate([v2c, pi[None, :]], axis=0)  # [w+1, n]
+        sgn = np.where(planes >= 0, 1.0, -1.0)
+        mag = np.abs(planes)
+        total_sign = sgn.prod(axis=0) * sgn_syn
+        pm = phi(mag)
+        total_pm = pm.sum(axis=0)
+        c2v = (total_sign * sgn) * phi(np.maximum(total_pm - pm, 1e-9))
+        c2v_c, c2v_i = c2v[:w], c2v[w]
+        c2v_var = np.stack([np.roll(c2v_c[t], -k) for t, k in enumerate(shifts)])
+        total_c = pc + c2v_var.sum(axis=0)
+        v2c_var = np.clip(total_c[None, :] - c2v_var, -60, 60)
+        v2c = np.stack([np.roll(v2c_var[t], k) for t, k in enumerate(shifts)])
+        total_i = pi + c2v_i
+        e_c = (total_c < 0).astype(int)
+        e_i = (total_i < 0).astype(int)
+        syn = (sum(np.roll(e_c, k) for k in shifts) + e_i) % 2
+        if (syn == syndrome).all():
+            break
+    return np.concatenate([e_c, e_i]), it + 1
+
+
+def bench_cpu(lay, probs, error_rate, frames=3, max_iter=30, seed=0):
+    rng = np.random.RandomState(seed)
+    n_vars = lay.n_vars
+    prior = np.log((1 - probs) / probs).astype(np.float64)
+    ok = 0
+    t0 = time.time()
+    for _ in range(frames):
+        e = (rng.rand(n_vars) < error_rate).astype(int)
+        syn = (sum(np.roll(e[: lay.n], k) for k in lay.shifts) + e[lay.n :]) % 2
+        e_hat, _iters = cpu_reference_decode(lay, prior, syn, max_iter)
+        ok += int((e_hat == e).all())
+    dt = time.time() - t0
+    return frames / dt, ok / frames
+
+
+# ---------------------------------------------------------------------------
+# TPU path
+# ---------------------------------------------------------------------------
+
+
+def bench_tpu(lay, probs, batch=1024, steps=8, warmup=2, max_iter=30,
+              method="product_sum"):
+    import jax
+
+    from sca_ldpc_tpu.parallel.fer import make_sharded_fer_step
+    from sca_ldpc_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(data=1, model=1, devices=jax.devices()[:1])
+    with mesh:
+        step = make_sharded_fer_step(lay, probs, mesh, max_iter=max_iter,
+                                     method=method)
+        key = jax.random.PRNGKey(0)
+        for i in range(warmup):
+            out = step(jax.random.fold_in(key, 1000 + i), batch)
+        jax.block_until_ready(out)
+        t0 = time.time()
+        total_ok = 0
+        iters = []
+        for i in range(steps):
+            ok, conv, it = step(jax.random.fold_in(key, i), batch)
+            total_ok += int(ok)
+            iters.append(int(it))
+        jax.block_until_ready((ok, conv))
+        dt = time.time() - t0
+    fps = steps * batch / dt
+    return fps, total_ok / (steps * batch), iters
+
+
+def main():
+    error_rate = 0.01
+    max_iter = 30
+    lay = build_code()
+    probs = np.full(lay.n_vars, error_rate, np.float32)
+
+    cpu_fps, cpu_success = bench_cpu(lay, probs, error_rate, frames=3, max_iter=max_iter)
+    print(f"# cpu reference: {cpu_fps:.2f} frames/s, success {cpu_success:.3f}",
+          file=sys.stderr)
+
+    tpu_fps, tpu_success, iters = bench_tpu(lay, probs, batch=1024, steps=8,
+                                            max_iter=max_iter)
+    print(f"# tpu: {tpu_fps:.1f} frames/s/chip, success {tpu_success:.4f}, "
+          f"batch iters {iters}", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "hqc128_parity_check_decode_frames_per_s_per_chip",
+        "value": round(tpu_fps, 1),
+        "unit": "frames/s/chip (N=35338 cols, product-sum BP to convergence, err 0.01)",
+        "vs_baseline": round(tpu_fps / cpu_fps, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

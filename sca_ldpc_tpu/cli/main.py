@@ -1,0 +1,179 @@
+#!/bin/env python
+"""Command-line driver with the reference's full command surface
+(reference: simulate-with-python/main.py — same 12 subcommands, same flags).
+
+Usage: python -m sca_ldpc_tpu.cli.main <command> [flags]
+"""
+
+import argparse
+import logging
+import sys
+from os.path import exists
+
+import numpy as np
+
+from ..channels import ErrorsProvider
+from ..codes import (
+    make_qc_parity_check_matrix,
+    make_regular_ldpc_parity_check_matrix,
+    make_regular_ldpc_parity_check_matrix_identity,
+)
+from ..sim import simulate_frame_error_rate, simulate_frame_error_rate_qary
+from ..utils import make_random_state
+from ..utils.commands import CommandsBase
+
+logger = logging.getLogger("main")
+
+
+def rep_code(n):
+    """Repetition-code H (stand-in for ldpc.codes.rep_code, main.py:42)."""
+    H = np.zeros((n - 1, n), dtype=int)
+    for i in range(n - 1):
+        H[i, i] = 1
+        H[i, i + 1] = 1
+    return H
+
+
+class Commands(CommandsBase):
+    """All commands of the simulator (reference: main.py:52-319)."""
+
+    PREFIX = "command_"
+
+    def setup_arguments(self, parser: argparse.ArgumentParser):
+        parser.add_argument("--seed", type=int, required=False,
+                            help="Use a fixed seed to make simulations reproducible.")
+        parser.add_argument("--runs", type=int, default=100,
+                            help="The number of runs for non-deterministic simulations.")
+        parser.add_argument("--decode-every", type=int, default=500,
+                            help="Try to decode every 'decode-every' added data points.")
+        parser.add_argument("--key-file", type=str,
+                            help="Serialized key location; created with a random key if missing "
+                                 "(independent of --seed).")
+        parser.add_argument("--csv-output", type=str,
+                            help="Write decoding stats to the specified csv file")
+        parser.add_argument("--code-weight", type=int, default=20,
+                            help="Column weight for constructed LDPC codes in HQC simulations")
+        parser.add_argument("--label", type=str,
+                            help="Label added to csv output to distinguish runs")
+        parser.add_argument("--param-set", type=str, default="128",
+                            help="HQC parameter set: 128, 192 or 256.")
+        parser.add_argument("--threads", type=int, default=4,
+                            help="Decode batch parallelism (the reference's thread count maps "
+                                 "to the device batch axis)")
+        error_group = parser.add_mutually_exclusive_group(required=False)
+        error_group.add_argument("--error-rate", type=float, default=0.00,
+                                 help="Error rate of the simulated binary symmetric channel; "
+                                      "'NaN' guarantees no errors even for HQC simulation.")
+        error_group.add_argument("--error-file", type=str,
+                                 help="File specifying per-position error distributions.")
+
+    # -- HQC attack ---------------------------------------------------------
+
+    def command_hqc_simulate(self, args):
+        from ..models.hqc import simulate_hqc_idealized_oracle
+
+        rng = make_random_state(args.seed)
+        _, tracking = simulate_hqc_idealized_oracle(
+            rng, args.decode_every, args.code_weight, args.key_file,
+            args.error_rate, args.param_set,
+        )
+        df = tracking.decoder_stats_data_frame(label=args.label)
+        logger.info(f"Stats: \n{df.to_string(index=False)}")
+        if args.csv_output:
+            header = not exists(args.csv_output)
+            df.to_csv(args.csv_output, mode="w" if header else "a",
+                      index=False, header=header)
+
+    def command_hqc_eval_oracle(self, args):
+        from ..models.hqc.eval_oracle import hqc_eval_oracle
+
+        rng = make_random_state(args.seed)
+        hqc_eval_oracle(rng, keyfile=args.key_file)
+
+    def command_view_hqc_oracle_accuracy(self, args):
+        from ..viz import view_hqc_oracle_accuracy
+
+        view_hqc_oracle_accuracy()
+
+    def command_view_hqc_simulation_csv(self, args):
+        from ..viz import view_hqc_simulation_csv
+
+        view_hqc_simulation_csv(args.csv_output, "hqc-" + args.param_set)
+
+    # -- FER simulations ----------------------------------------------------
+
+    def command_test_rust_package(self, args):
+        """Kept under its reference name (main.py:165-183): q-ary decode of
+        the regular (3,6)+I code through the native-equivalent decoder."""
+        rng = make_random_state(args.seed)
+        H = make_regular_ldpc_parity_check_matrix_identity(300, 150, 3, 6, rng)
+        logger.info(f"Constructed a rate {300/450} code")
+        successes, max_ok, min_fail = simulate_frame_error_rate_qary(
+            H, 1, args.error_rate or 0.005, args.runs, rng,
+            batch_size=args.threads,
+        )
+        logger.info(f"Success ratio {successes}/{args.runs}={successes/args.runs}")
+
+    def command_regular_ldpc_code(self, args):
+        rng = make_random_state(args.seed)
+        errors_provider = ErrorsProvider(args.error_rate, args.error_file, rng)
+        H = make_regular_ldpc_parity_check_matrix(300, 150, 3, 6, rng)
+        logger.info(f"Constructed a rate {300/450} code")
+        successes = simulate_frame_error_rate(H, errors_provider, args.runs, rng)
+        logger.info(f"Success ratio {successes}/{args.runs}={successes/args.runs}")
+
+    def command_regular_ldpc_code_identity(self, args):
+        rng = make_random_state(args.seed)
+        errors_provider = ErrorsProvider(args.error_rate, args.error_file, rng)
+        H = make_regular_ldpc_parity_check_matrix_identity(300, 150, 3, 6, rng)
+        logger.info(f"Constructed a rate {300/450} code")
+        successes = simulate_frame_error_rate(H, errors_provider, args.runs, rng)
+        logger.info(f"Success ratio {successes}/{args.runs}={successes/args.runs}")
+
+    def command_qc_ldpc_code(self, args):
+        rng = make_random_state(args.seed)
+        errors_provider = ErrorsProvider(args.error_rate, args.error_file, rng)
+        H = make_qc_parity_check_matrix(block_len=500, column_weight=3, num_blocks=2, rng=rng)
+        successes = simulate_frame_error_rate(H, errors_provider, args.runs, rng)
+        logger.info(f"Success ratio {successes}/{args.runs}={successes/args.runs}")
+
+    def command_compute_bound(self, args):
+        k, r = 300, 150
+        rate = k / (k + r)
+        p = args.error_rate
+        entropy = -p * np.log2(p) - (1 - p) * np.log2(1 - p)
+        capacity = 1 - entropy
+        logger.info(f"R {'<' if rate < capacity else '>'} C, where R = {rate}, C = {capacity}")
+
+    def command_official_example(self, args):
+        rng = make_random_state(args.seed)
+        errors_provider = ErrorsProvider(args.error_rate, args.error_file, rng)
+        H = rep_code(13)
+        successes = simulate_frame_error_rate(H, errors_provider, args.runs, rng)
+        logger.info(f"Success ratio {successes}/{args.runs}={successes/args.runs}")
+
+    # -- test runners -------------------------------------------------------
+
+    def command_test(self, args):
+        self.command_test_xml(args, xml=False)
+
+    def command_test_xml(self, args, xml=True):
+        """Run the conformance suite (pytest replaces the reference's
+        doctest discovery, main.py:282-319)."""
+        import subprocess
+
+        cmd = [sys.executable, "-m", "pytest", "tests/", "-q"]
+        if xml:
+            cmd += ["--junitxml=report.xml"]
+        rc = subprocess.run(cmd).returncode
+        sys.exit(rc)
+
+
+def main():
+    cmds = Commands()
+    args = cmds.parse_arguments()
+    cmds.run(args)
+
+
+if __name__ == "__main__":
+    main()

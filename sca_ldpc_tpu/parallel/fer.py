@@ -1,0 +1,96 @@
+"""Mesh-sharded frame-error-rate simulation.
+
+One jitted SPMD step: per-shard error sampling -> syndromes -> batched BP
+decode -> frame-exact comparison -> globally reduced statistics.  The batch
+axis is sharded over the mesh's 'data' axis; XLA inserts the psum-style
+collectives for the scalar reductions (SURVEY §2.3's replacement for the
+reference's thread pool + CSV merging).
+"""
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..codes.layout import CirculantLayout, CodeLayout
+from ..ops.binary_bp import _bp_decode_syndrome
+from ..ops.circulant_bp import _circulant_bp
+
+
+def make_sharded_fer_step(layout, channel_probs, mesh, max_iter=50, method="product_sum"):
+    """Build a jitted sharded step: (key, batch) -> (successes, converged, iters).
+
+    ``layout``: CodeLayout or CirculantLayout.  ``channel_probs``: [n] error
+    probabilities.  The returned callable samples its own errors on device
+    from the given key (sharded), so no host->device transfer scales with
+    batch.
+    """
+    probs = jnp.asarray(np.asarray(channel_probs, np.float32))
+    batch_sharding = NamedSharding(mesh, P(("data", "model")))
+
+    if isinstance(layout, CirculantLayout):
+        n = layout.n
+        n_vars = layout.n_vars
+        shifts = layout.shifts
+        prior = jnp.log((1.0 - jnp.clip(probs, 1e-30, 1 - 1e-12)) / jnp.clip(probs, 1e-30, 1 - 1e-12))
+
+        def step(key, batch):
+            keys = jax.random.split(key, 2)
+            errors = jax.random.bernoulli(keys[0], probs[None, :], (batch, n_vars)).astype(jnp.int32)
+            errors = jax.lax.with_sharding_constraint(errors, batch_sharding)
+            e_c, e_i = errors[:, :n], errors[:, n:]
+            syn = sum(jnp.roll(e_c, k, axis=-1) for k in shifts)
+            if layout.with_identity:
+                syn = syn + e_i
+            syn = syn % 2
+            pc = jnp.broadcast_to(prior[: n], (batch, n))
+            pi = jnp.broadcast_to(prior[n:], (batch, n)) if layout.with_identity else jnp.zeros((batch, n))
+            e_hat, conv, it = _circulant_bp(
+                pc, pi, syn, shifts, layout.with_identity, max_iter, method
+            )
+            ok = jnp.all(e_hat == errors, axis=-1)
+            return jnp.sum(ok), jnp.sum(conv), it
+
+    else:
+        lay: CodeLayout = layout
+        chk_var = jnp.asarray(lay.chk_var)
+        chk_mask = jnp.asarray(lay.chk_mask)
+        var_flat = jnp.asarray(lay.var_flat)
+        var_mask = jnp.asarray(lay.var_mask)
+        prior = jnp.log((1.0 - jnp.clip(probs, 1e-30, 1 - 1e-12)) / jnp.clip(probs, 1e-30, 1 - 1e-12))
+
+        def step(key, batch):
+            errors = jax.random.bernoulli(key, probs[None, :], (batch, lay.n)).astype(jnp.int32)
+            errors = jax.lax.with_sharding_constraint(errors, batch_sharding)
+            e_pad = jnp.concatenate([errors, jnp.zeros((batch, 1), jnp.int32)], axis=-1)
+            bits = jnp.take(e_pad, chk_var.reshape(-1), axis=-1).reshape(batch, lay.r, lay.dc)
+            syn = jnp.sum(jnp.where(chk_mask, bits, 0), axis=-1) % 2
+            e_hat, conv, it = _bp_decode_syndrome(
+                chk_var, chk_mask, var_flat, var_mask, prior, syn, max_iter, method, lay.dc
+            )
+            ok = jnp.all(e_hat == errors, axis=-1)
+            return jnp.sum(ok), jnp.sum(conv), it
+
+    return jax.jit(step, static_argnames=("batch",))
+
+
+def sharded_fer_simulation(layout, channel_probs, runs, key, mesh, batch=None, max_iter=50, method="product_sum"):
+    """Run ``runs`` frames in sharded batches; returns (successes, frames)."""
+    n_dev = mesh.devices.size
+    if batch is None:
+        batch = min(runs, 256 * n_dev)
+    batch = max(n_dev, (batch // n_dev) * n_dev)
+    step = make_sharded_fer_step(layout, channel_probs, mesh, max_iter, method)
+    successes = 0
+    done = 0
+    while done < runs:
+        cur = min(batch, max(n_dev, runs - done))
+        cur = max(n_dev, (cur // n_dev) * n_dev)
+        key, sub = jax.random.split(key)
+        ok, _conv, _it = step(sub, cur)
+        successes += int(ok)
+        done += cur
+    return successes, done

@@ -1,0 +1,89 @@
+"""Multi-device sharding tests (8 virtual CPU devices via conftest)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from sca_ldpc_tpu.codes.layout import CirculantLayout, CodeLayout
+from sca_ldpc_tpu.codes.make_code import (
+    make_regular_ldpc_parity_check_matrix,
+    random_circulant_first_row,
+)
+from sca_ldpc_tpu.parallel import make_mesh, sharded_fer_simulation
+from sca_ldpc_tpu.parallel.fer import make_sharded_fer_step
+from sca_ldpc_tpu.utils import make_random_state
+
+
+@pytest.fixture(scope="module")
+def devices():
+    d = jax.devices()
+    if len(d) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return d
+
+
+def test_mesh_shapes(devices):
+    mesh = make_mesh(data=4, model=2)
+    assert mesh.shape == {"data": 4, "model": 2}
+    mesh = make_mesh()  # all devices on data
+    assert mesh.shape["data"] == len(devices)
+    with pytest.raises(ValueError):
+        make_mesh(data=3, model=2)
+
+
+def test_sharded_fer_circulant(devices):
+    rng = make_random_state(0)
+    n = 64
+    row = random_circulant_first_row(n, 5, rng)
+    lay = CirculantLayout.from_first_row(row, with_identity=True)
+    probs = np.full(2 * n, 0.01, np.float32)
+    mesh = make_mesh(data=4, model=2)
+    with mesh:
+        successes, frames = sharded_fer_simulation(
+            lay, probs, runs=64, key=jax.random.PRNGKey(0), mesh=mesh, max_iter=20
+        )
+    assert frames >= 64
+    # at 1% error on a w=5 circulant code nearly all frames decode
+    assert successes / frames > 0.9
+
+
+def test_sharded_fer_general_layout(devices):
+    rng = make_random_state(1)
+    H = make_regular_ldpc_parity_check_matrix(48, 24, 3, 6, rng)
+    lay = CodeLayout.from_h(H)
+    probs = np.full(48, 0.01, np.float32)
+    mesh = make_mesh()  # pure data parallelism
+    with mesh:
+        successes, frames = sharded_fer_simulation(
+            lay, probs, runs=64, key=jax.random.PRNGKey(1), mesh=mesh, max_iter=30
+        )
+    assert successes / frames > 0.9
+
+
+def test_sharded_matches_unsharded(devices):
+    """Same key, same step: 1-device mesh result == 8-device mesh result."""
+    rng = make_random_state(2)
+    n = 32
+    row = random_circulant_first_row(n, 3, rng)
+    lay = CirculantLayout.from_first_row(row, with_identity=True)
+    probs = np.full(2 * n, 0.02, np.float32)
+
+    mesh8 = make_mesh(data=8, model=1)
+    mesh1 = make_mesh(data=1, model=1, devices=[devices[0]])
+    key = jax.random.PRNGKey(7)
+    with mesh8:
+        s8 = make_sharded_fer_step(lay, probs, mesh8, max_iter=15)(key, 32)
+    with mesh1:
+        s1 = make_sharded_fer_step(lay, probs, mesh1, max_iter=15)(key, 32)
+    assert int(s8[0]) == int(s1[0])
+
+
+def test_dryrun_multichip_entry():
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent.parent))
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
