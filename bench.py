@@ -95,32 +95,45 @@ def bench_cpu(lay, probs, error_rate, frames=3, max_iter=30, seed=0):
 # ---------------------------------------------------------------------------
 
 
-def bench_tpu(lay, probs, batch=1024, steps=8, warmup=2, max_iter=30,
+def bench_tpu(lay, probs, batch=1024, steps=20, max_iter=30,
               method="product_sum"):
+    """Fused Pallas decode, measured as `steps` full simulation steps
+    (sample -> syndrome -> decode -> compare) inside ONE jitted dispatch —
+    per-dispatch latency through the TPU tunnel otherwise dominates."""
     import jax
+    import jax.numpy as jnp
 
-    from sca_ldpc_tpu.parallel.fer import make_sharded_fer_step
-    from sca_ldpc_tpu.parallel.mesh import make_mesh
+    from sca_ldpc_tpu.ops.kernels.circulant_pallas import circulant_bp_pallas
 
-    mesh = make_mesh(data=1, model=1, devices=jax.devices()[:1])
-    with mesh:
-        step = make_sharded_fer_step(lay, probs, mesh, max_iter=max_iter,
-                                     method=method)
-        key = jax.random.PRNGKey(0)
-        for i in range(warmup):
-            out = step(jax.random.fold_in(key, 1000 + i), batch)
-        jax.block_until_ready(out)
-        t0 = time.time()
-        total_ok = 0
-        iters = []
-        for i in range(steps):
-            ok, conv, it = step(jax.random.fold_in(key, i), batch)
-            total_ok += int(ok)
-            iters.append(int(it))
-        jax.block_until_ready((ok, conv))
-        dt = time.time() - t0
-    fps = steps * batch / dt
-    return fps, total_ok / (steps * batch), iters
+    n = lay.n
+    probs_j = jnp.asarray(probs)
+    prior_vec = jnp.log((1 - probs_j) / probs_j)
+
+    def one_step(key):
+        e = jax.random.bernoulli(key, probs_j[None, :], (batch, 2 * n)).astype(jnp.int8)
+        syn = (
+            (sum(jnp.roll(e[:, :n], k, axis=-1) for k in lay.shifts) + e[:, n:]) % 2
+        ).astype(jnp.int32)
+        pc = jnp.broadcast_to(prior_vec[:n], (batch, n))
+        pi = jnp.broadcast_to(prior_vec[n:], (batch, n))
+        e_hat, conv = circulant_bp_pallas(pc, pi, syn, lay.shifts, max_iter,
+                                          tb=8, method=method)
+        return jnp.sum(jnp.all(e_hat == e.astype(jnp.int32), axis=-1))
+
+    @jax.jit
+    def multi(key):
+        return jax.lax.fori_loop(
+            0, steps, lambda i, a: a + one_step(jax.random.fold_in(key, i)),
+            jnp.int32(0),
+        )
+
+    out = multi(jax.random.PRNGKey(0))
+    jax.block_until_ready(out)
+    t0 = time.time()
+    out = multi(jax.random.PRNGKey(1))
+    jax.block_until_ready(out)
+    dt = time.time() - t0
+    return steps * batch / dt, int(out) / (steps * batch)
 
 
 def main():
@@ -133,10 +146,10 @@ def main():
     print(f"# cpu reference: {cpu_fps:.2f} frames/s, success {cpu_success:.3f}",
           file=sys.stderr)
 
-    tpu_fps, tpu_success, iters = bench_tpu(lay, probs, batch=1024, steps=8,
-                                            max_iter=max_iter)
-    print(f"# tpu: {tpu_fps:.1f} frames/s/chip, success {tpu_success:.4f}, "
-          f"batch iters {iters}", file=sys.stderr)
+    tpu_fps, tpu_success = bench_tpu(lay, probs, batch=1024, steps=20,
+                                     max_iter=max_iter)
+    print(f"# tpu: {tpu_fps:.1f} frames/s/chip, success {tpu_success:.4f}",
+          file=sys.stderr)
 
     print(json.dumps({
         "metric": "hqc128_parity_check_decode_frames_per_s_per_chip",

@@ -24,6 +24,7 @@ import numpy as np
 from ..codes.layout import CodeLayout
 
 _BIG = 60.0  # LLR clip: tanh saturates at float32 well below this
+MIN_SUM_ALPHA = 0.75  # normalized min-sum scale (standard 0.7-0.8 range)
 
 
 def _phi(x):
@@ -57,7 +58,9 @@ def _check_update(v2c, sign_flip, mask, method):
         )
         min2 = jnp.min(mag2, axis=-1, keepdims=True)
         ext_mag = jnp.where(mag == min1, min2, min1)
-        ext_mag = jnp.minimum(ext_mag, _BIG)
+        # normalized min-sum: plain min-sum overestimates extrinsics badly on
+        # high-degree checks (FER collapse at moderate noise)
+        ext_mag = MIN_SUM_ALPHA * jnp.minimum(ext_mag, _BIG)
     else:
         raise ValueError(f"unknown bp method: {method}")
 

@@ -50,7 +50,8 @@ def _plane_check_update(planes, sign_syn, method):
         min2 = jnp.min(jnp.where(is1, jnp.inf, mag), axis=1, keepdims=True)
         cnt = jnp.sum(is1, axis=1, keepdims=True)
         ext_mag = jnp.where(is1 & (cnt == 1), min2, min1)
-        ext_mag = jnp.minimum(ext_mag, _BIG)
+        from .binary_bp import MIN_SUM_ALPHA
+        ext_mag = MIN_SUM_ALPHA * jnp.minimum(ext_mag, _BIG)
     else:
         raise ValueError(f"unknown bp method: {method}")
     return ext_sign * ext_mag

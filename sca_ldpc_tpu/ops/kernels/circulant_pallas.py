@@ -1,0 +1,179 @@
+"""Fused Pallas TPU kernel for circulant binary BP decoding.
+
+The XLA rolled-plane decoder (ops/circulant_bp.py) re-materializes the
+``[batch, W, N]`` message planes in HBM every iteration.  This kernel keeps
+the whole message state of a frame tile in VMEM across ALL BP iterations:
+HBM sees only priors + syndrome in and hard decisions out, independent of
+iteration count.
+
+Per grid program (one tile of TB frames):
+- scratch: v2c planes [W, TB, N] resident in VMEM, stored bf16 (BP is robust
+  to coarse message quantization; compute is f32)
+- pass 1 streams planes to build the check-update accumulators
+  (product-sum: sign product + Gallager-phi sum; min-sum: min1/min2/count)
+- pass 2 recomputes each plane's extrinsic on the fly, accumulating the
+  variable totals with one roll per plane
+- pass 3 rewrites each plane in place: v2c[t] = roll(totals, k_t) - c2v_t
+  (extrinsic subtraction commutes with the roll)
+- convergence: syndrome recomputed from hard decisions each iteration;
+  per-frame outputs latch at first convergence (ldpc semantics) and the
+  tile exits early via lax.while_loop.
+
+Both of the reference's BP variants are provided; product_sum is the
+conformance method (decode.py:155-161), min_sum (normalized) the cheaper one.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BIG = 60.0
+_MIN_SUM_ALPHA = 0.75
+
+
+def _roll(x, k):
+    """Cyclic right-shift by static k along the last axis: out[i] = x[i-k]."""
+    if k == 0:
+        return x
+    return pltpu.roll(x, k, axis=x.ndim - 1)
+
+
+def _phi(x):
+    x = jnp.clip(x, 1e-9, _BIG)
+    return -jnp.log(jnp.tanh(0.5 * x))
+
+
+def _make_kernel(shifts, n, tb, max_iter, method):
+    w = len(shifts)
+
+    def kernel(prior_c_ref, prior_i_ref, syn_ref, e_c_ref, e_i_ref, conv_ref, v2c):
+        pc = prior_c_ref[:]  # [TB, N]
+        pi = prior_i_ref[:]
+        syn = syn_ref[:]  # [TB, N] f32 0/1
+        sign_syn = 1.0 - 2.0 * syn
+
+        for t, k in enumerate(shifts):
+            v2c[t] = _roll(pc, k).astype(jnp.bfloat16)
+
+        def one_iteration():
+            # ---- pass 1: accumulators over all planes (incl. identity)
+            if method == "product_sum":
+                phi_sum = _phi(jnp.abs(pi))
+                sgn_prod = jnp.where(pi >= 0, 1.0, -1.0) * sign_syn
+                for t in range(w):
+                    plane = v2c[t].astype(jnp.float32)
+                    phi_sum = phi_sum + _phi(jnp.abs(plane))
+                    sgn_prod = sgn_prod * jnp.where(plane >= 0, 1.0, -1.0)
+
+                def ext_of(plane):
+                    sgn = jnp.where(plane >= 0, 1.0, -1.0)
+                    ext_mag = _phi(jnp.maximum(phi_sum - _phi(jnp.abs(plane)), 1e-9))
+                    return sgn_prod * sgn * ext_mag
+
+            else:  # normalized min-sum
+                min1 = jnp.abs(pi)
+                min2 = jnp.full_like(pi, jnp.inf)
+                cnt1 = jnp.ones_like(pi)
+                sgn_prod = jnp.where(pi >= 0, 1.0, -1.0) * sign_syn
+                for t in range(w):
+                    plane = v2c[t].astype(jnp.float32)
+                    mag = jnp.abs(plane)
+                    sgn_prod = sgn_prod * jnp.where(plane >= 0, 1.0, -1.0)
+                    lt = mag < min1
+                    eq = mag == min1
+                    min2 = jnp.where(
+                        lt, min1, jnp.where(eq, min1, jnp.minimum(min2, mag))
+                    )
+                    cnt1 = jnp.where(lt, 1.0, jnp.where(eq, cnt1 + 1.0, cnt1))
+                    min1 = jnp.where(lt, mag, min1)
+
+                def ext_of(plane):
+                    sgn = jnp.where(plane >= 0, 1.0, -1.0)
+                    mag = jnp.abs(plane)
+                    is1 = mag == min1
+                    ext_mag = jnp.where(is1 & (cnt1 == 1.0), min2, min1)
+                    ext_mag = _MIN_SUM_ALPHA * jnp.minimum(ext_mag, _BIG)
+                    return sgn_prod * sgn * ext_mag
+
+            # ---- pass 2: variable totals
+            tot_c = pc
+            for t, k in enumerate(shifts):
+                tot_c = tot_c + _roll(ext_of(v2c[t].astype(jnp.float32)), n - k)
+            tot_i = pi + ext_of(pi)
+
+            # ---- pass 3: in-place plane rewrite
+            for t, k in enumerate(shifts):
+                c2v_t = ext_of(v2c[t].astype(jnp.float32))
+                v2c[t] = jnp.clip(_roll(tot_c, k) - c2v_t, -_BIG, _BIG).astype(
+                    jnp.bfloat16
+                )
+
+            e_c = jnp.where(tot_c < 0, 1.0, 0.0)
+            e_i = jnp.where(tot_i < 0, 1.0, 0.0)
+            syn_hat = e_i
+            for k in shifts:
+                syn_hat = syn_hat + _roll(e_c, k)
+            syn_hat = syn_hat - 2.0 * jnp.floor(syn_hat * 0.5)  # mod 2
+            ok = jnp.sum(jnp.abs(syn_hat - syn), axis=-1, keepdims=True) == 0.0
+            return e_c, e_i, ok  # ok: [TB, 1]
+
+        # initial outputs: channel hard decisions, nothing converged yet
+        e_c_ref[:] = jnp.where(pc < 0, 1.0, 0.0)
+        e_i_ref[:] = jnp.where(pi < 0, 1.0, 0.0)
+        conv_ref[:] = jnp.zeros((tb, 1), jnp.float32)
+
+        def body(carry):
+            it, _done = carry
+            already = conv_ref[:] > 0.5  # [TB, 1]
+            e_c, e_i, ok = one_iteration()
+            # latch each frame's first converged estimate (ldpc semantics)
+            e_c_ref[:] = jnp.where(already, e_c_ref[:], e_c)
+            e_i_ref[:] = jnp.where(already, e_i_ref[:], e_i)
+            new_conv = already | ok
+            conv_ref[:] = new_conv.astype(jnp.float32)
+            return it + 1, jnp.all(new_conv)
+
+        def cond(carry):
+            it, done = carry
+            return (it < max_iter) & ~done
+
+        jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.bool_(False)))
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("shifts", "max_iter", "tb", "method"))
+def circulant_bp_pallas(prior_c, prior_i, syndrome, shifts: tuple, max_iter: int,
+                        tb: int = 8, method: str = "min_sum"):
+    """Decode [B, N] syndromes of [circulant | I]; returns (e [B, 2N] int32,
+    conv [B] bool).  B must be a multiple of tb."""
+    b, n = syndrome.shape
+    w = len(shifts)
+    assert b % tb == 0, f"batch {b} not a multiple of tile {tb}"
+    grid = (b // tb,)
+    kernel = _make_kernel(shifts, n, tb, max_iter, method)
+
+    spec = pl.BlockSpec((tb, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    conv_spec = pl.BlockSpec((tb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    e_c, e_i, conv = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spec, spec, spec],
+        out_specs=[spec, spec, conv_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n), jnp.float32),
+            jax.ShapeDtypeStruct((b, n), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((w, tb, n), jnp.bfloat16)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(
+        prior_c.astype(jnp.float32),
+        prior_i.astype(jnp.float32),
+        syndrome.astype(jnp.float32),
+    )
+    e = jnp.concatenate([e_c, e_i], axis=-1).astype(jnp.int32)
+    return e, conv[:, 0] > 0.5
