@@ -60,6 +60,11 @@ class Commands(CommandsBase):
         parser.add_argument("--threads", type=int, default=4,
                             help="Decode batch parallelism (the reference's thread count maps "
                                  "to the device batch axis)")
+        parser.add_argument("--oracle-backend", type=str, default="fast",
+                            choices=["fast", "native"],
+                            help="HQC oracle: 'fast' = incremental Walsh-spectrum updates "
+                                 "(one decapsulation per plaintext, cross-checked), "
+                                 "'native' = decapsulate per query like the reference")
         error_group = parser.add_mutually_exclusive_group(required=False)
         error_group.add_argument("--error-rate", type=float, default=0.00,
                                  help="Error rate of the simulated binary symmetric channel; "
@@ -76,6 +81,7 @@ class Commands(CommandsBase):
         _, tracking = simulate_hqc_idealized_oracle(
             rng, args.decode_every, args.code_weight, args.key_file,
             args.error_rate, args.param_set,
+            oracle_backend=args.oracle_backend,
         )
         df = tracking.decoder_stats_data_frame(label=args.label)
         logger.info(f"Stats: \n{df.to_string(index=False)}")

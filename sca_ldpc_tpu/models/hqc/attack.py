@@ -3,13 +3,18 @@
 TPU-native re-implementation of the reference's flagship workload
 (simulate/hqc.py:987-1167 and its helpers).  The adaptive chosen-ciphertext
 search (block/bit flipping against the decoding-failure edge) is inherently
-sequential and stays on host, calling the native HQC model
-(csrc/hqc_core.cpp) for decapsulations; the periodic LDPC decode of the
-accumulated parity checks runs batched on TPU through
+sequential and stays on host; the periodic LDPC decode of the accumulated
+parity checks runs batched on device through
 :class:`~sca_ldpc_tpu.ops.binary_bp.BinaryBPDecoder`.
 
 Design deviations from the reference (behavior-preserving unless noted):
 
+- The oracle owns the evolving ciphertext; probes and flips go through it.
+  Two backends: ``native`` decapsulates via csrc/hqc_core.cpp per query
+  (reference semantics, hqc.py:809-871); ``fast`` (default) answers via
+  incremental Walsh-spectrum updates (oracle_fast.py) — one decapsulation
+  per plaintext instead of one per probe — with optional continuous
+  cross-checking against the native path.
 - The decode matrix ``[Hgen-rows | I]`` is never materialized densely: check
   rows are rows of a circulant, so the device layout is built directly from
   (bit index, circulant support) pairs (hqc.py:680 builds a dense vstack).
@@ -168,47 +173,108 @@ def search_distinguishable_plaintext(HQC, rng, target_additional_seedexpansions=
 
 class HqcOracle:
     """Idealized decoding oracle with epsilon false-positive/negative noise
-    and certainty-amplified querying.
+    and certainty-amplified querying.  Owns the evolving attack ciphertext.
 
     ``epsilon = (p_keep_false, p_keep_true)``: probability the raw answer is
     NOT inverted, conditioned on the true answer (hqc.py:830-831, 859-864).
     """
 
-    def __init__(self, params: HqcSimulationParams, tracking, priv, pt, rng):
+    def __init__(
+        self,
+        params: HqcSimulationParams,
+        tracking,
+        priv,
+        pt,
+        rng,
+        base_ct,
+        backend="fast",
+        crosscheck_every=0,
+    ):
         self.params = params
         self.tracking = tracking
         self.priv = priv
         self.pt = bytes(pt)
         self.rng = rng
         self.assert_raises = True
+        self.ct = bytearray(base_ct)
+        self.backend = backend
+        self.crosscheck_every = crosscheck_every
+        self._raw_count = 0
+        self.state = None
+        if backend == "fast":
+            from .oracle_fast import FastCiphertextState
 
-    def inner(self, ct, debug=False):
-        """One decapsulation; returns (answer, certainty of that answer)."""
-        pt_prime, _rs_enc, _rm_dec, _inp, _u, _v = self.params.HQC.decode_intermediates(
-            ct, self.priv
-        )
-        result = self.pt == bytes(pt_prime)
-        keep_rate = self.params.EPSILON[int(result)]
+            self.state = FastCiphertextState.from_ciphertext(params, base_ct, priv, pt)
+
+    # -- ciphertext mutations ------------------------------------------------
+
+    def flip_block(self, block):
+        self.ct = toggle_outer_block(self.ct, block, self.params.N, self.params.N2)
+        if self.state is not None:
+            self.state.toggle_block(block)
+
+    def flip_bit(self, block, bit):
+        self.ct = flip_single_bit(self.ct, block, bit, self.params.N, self.params.N2)
+        if self.state is not None:
+            self.state.toggle_bits([block * self.params.N2 + bit])
+
+    # -- raw (noise-free) answers -------------------------------------------
+
+    def _native_success(self, ct):
+        pt_prime, *_ = self.params.HQC.decode_intermediates(ct, self.priv)
+        return self.pt == bytes(pt_prime)
+
+    def _raw(self, flipped_vbit=None):
+        """True decoding result for the current ct, optionally with one
+        additional (hypothetical) v-bit flipped."""
+        self._raw_count += 1
+        if self.state is not None:
+            if flipped_vbit is None:
+                result = self.state.decode_success()
+            else:
+                result = self.state.probe_bit(flipped_vbit)
+            if self.crosscheck_every and self._raw_count % self.crosscheck_every == 0:
+                ct = self.ct
+                if flipped_vbit is not None:
+                    ct = toggle_bits_in_v(ct, [flipped_vbit], self.params.N)
+                native = self._native_success(ct)
+                assert native == result, "fast oracle diverged from native decode"
+            return result
+        ct = self.ct
+        if flipped_vbit is not None:
+            ct = toggle_bits_in_v(ct, [flipped_vbit], self.params.N)
+        return self._native_success(ct)
+
+    # -- noisy, certainty-amplified queries ---------------------------------
+
+    def _noisy(self, raw, debug):
+        keep_rate = self.params.EPSILON[int(raw)]
         invert = self.rng.rand() > keep_rate
+        result = raw
         if not debug:
             self.tracking.num_oracle_calls += 1
             if invert:
                 logger.debug(
-                    f"Inverting oracle decision (originally {result}), keep rate {keep_rate}"
+                    f"Inverting oracle decision (originally {raw}), keep rate {keep_rate}"
                 )
                 result = not result
         return result, keep_rate
 
-    def query(self, ct, require_false=0.5, require_true=0.5, result_meta=None, debug=False):
+    def query(self, require_false=0.5, require_true=0.5, result_meta=None,
+              debug=False, flipped_bit=None):
         """Repeat the oracle until the accumulated certainty of the winning
         answer reaches its threshold: certainty = 1 - prod(1 - p_i)
-        (hqc.py:782-807)."""
+        (hqc.py:782-807).  ``flipped_bit=(block, bit)`` probes a hypothetical
+        single-bit modification without mutating the ciphertext."""
+        vbit = None
+        if flipped_bit is not None:
+            block, bit = flipped_bit
+            vbit = block * self.params.N2 + bit
+        raw = self._raw(vbit)
         require = (require_false, require_true)
         collected = ([], [])
-        tries = 0
         while True:
-            tries += 1
-            result, certainty = self.inner(ct, debug=debug)
+            result, certainty = self._noisy(raw, debug)
             collected[result].append(certainty)
             acc = 1.0 - prod(1.0 - p for p in collected[result])
             if acc >= require[result]:
@@ -216,10 +282,10 @@ class HqcOracle:
                     result_meta["certainty"] = acc
                 return result
 
-    def assert_success(self, expect, ct):
-        """Validate an assumed oracle state at very high certainty;
+    def assert_success(self, expect):
+        """Validate the assumed oracle state at very high certainty;
         downgraded to a warning under epsilon noise (hqc.py:56-71)."""
-        result = self.query(ct, require_false=0.9999, require_true=0.9999, debug=True)
+        result = self.query(require_false=0.9999, require_true=0.9999, debug=True)
         if self.assert_raises:
             assert result == expect, f"oracle state assertion failed (expected {expect})"
         elif result != expect:
@@ -231,11 +297,11 @@ class HqcOracle:
 # ---------------------------------------------------------------------------
 
 
-def next_failure_block(params, tracking, oracle, rng, ct):
+def next_failure_block(params, tracking, oracle, rng):
     """Flip blocks up to OUTER_DECODING_LIMIT, then find one more whose flip
     tips decoding into failure (hqc.py:267-339)."""
     limit = params.OUTER_DECODING_LIMIT
-    oracle.assert_success(True, ct)
+    oracle.assert_success(True)
 
     evaluated = [
         i
@@ -247,7 +313,7 @@ def next_failure_block(params, tracking, oracle, rng, ct):
     for block in rng.choice(evaluated, min(len(evaluated), limit), replace=False):
         flipped += 1
         logger.info(f"Flipping outer block {block} (evaluated)")
-        ct = toggle_outer_block(ct, block, params.N, params.N2)
+        oracle.flip_block(int(block))
         tracking.block_status[block]["status"] = FlipStatus.FLIPPED
 
     unknown = [
@@ -259,40 +325,38 @@ def next_failure_block(params, tracking, oracle, rng, ct):
     for block in rng.choice(unknown, len(unknown), replace=False):
         flipped += 1
         logger.info(f"Flipping outer block {block} (unknown)")
-        ct = toggle_outer_block(ct, block, params.N, params.N2)
+        oracle.flip_block(int(block))
         tracking.block_status[block]["status"] = FlipStatus.FLIPPED
         if flipped == limit:
-            oracle.assert_success(True, ct)
+            oracle.assert_success(True)
         elif flipped == limit + 1:
-            oracle.assert_success(False, ct)
-            ct = toggle_outer_block(ct, block, params.N, params.N2)
+            oracle.assert_success(False)
+            oracle.flip_block(int(block))
             tracking.block_status[block]["status"] = FlipStatus.UNFLIPPED
             tracking.block_status[block]["result"] = IfFlipResult.FAILURE
             logger.info(f"Decoding failure by flipping block {block}")
-            return block, ct
+            return int(block)
     return None
 
 
-def reset_full_block_flips(params, tracking, ct):
+def reset_full_block_flips(params, tracking, oracle):
     for block, bs in enumerate(tracking.block_status):
         if bs["status"] == FlipStatus.FLIPPED:
-            ct = toggle_outer_block(ct, block, params.N, params.N2)
+            oracle.flip_block(block)
             bs["status"] = FlipStatus.UNFLIPPED
-    return ct
 
 
-def reset_current_block(params, tracking, ct):
+def reset_current_block(params, tracking, oracle):
     for bit, b in enumerate(tracking.current_bits_status()):
         if b["status"] == FlipStatus.FLIPPED:
-            ct = flip_single_bit(ct, tracking.current_block_nr, bit, params.N, params.N2)
+            oracle.flip_bit(tracking.current_block_nr, bit)
             b["status"] = FlipStatus.UNFLIPPED
-    return ct
 
 
-def next_failure_bit(params, tracking, oracle, rng, ct):
+def next_failure_bit(params, tracking, oracle, rng):
     """Flip unflipped bits of the current block until decoding fails
     (hqc.py:458-531).  Flipped-but-inconclusive bits stay flipped."""
-    oracle.assert_success(True, ct)
+    oracle.assert_success(True)
     bits = tracking.current_bits_status()
     available = [
         i
@@ -300,22 +364,23 @@ def next_failure_bit(params, tracking, oracle, rng, ct):
         if b["result"] == IfFlipResult.UNKNOWN and b["status"] == FlipStatus.UNFLIPPED
     ]
     for bit in rng.choice(available, len(available), replace=False):
-        ct = flip_single_bit(ct, tracking.current_block_nr, bit, params.N, params.N2)
+        bit = int(bit)
+        oracle.flip_bit(tracking.current_block_nr, bit)
         bits[bit]["status"] = FlipStatus.FLIPPED
-        if not oracle.query(ct, require_false=0.99999, result_meta=bits[bit]):
+        if not oracle.query(require_false=0.99999, result_meta=bits[bit]):
             bits[bit]["result"] = IfFlipResult.FAILURE
             logger.info(
                 f"Decoding failure by flipping bit {bit} in block {tracking.current_block_nr}"
             )
-            oracle.assert_success(False, ct)
-            return bit, bits[bit]["status"], ct
+            oracle.assert_success(False)
+            return bit
     return None
 
 
-def find_minimal_failure_flips(params, tracking, oracle, ct, save_results=True):
+def find_minimal_failure_flips(params, tracking, oracle, save_results=True):
     """Strip the failure pattern to a minimal one; bits whose unflip restores
     success are check-value-0 information (hqc.py:534-605)."""
-    oracle.assert_success(False, ct)
+    oracle.assert_success(False)
     bits = tracking.current_bits_status()
     available = [
         i
@@ -324,9 +389,11 @@ def find_minimal_failure_flips(params, tracking, oracle, ct, save_results=True):
     ]
     successes = []
     for bit in available:
-        ctmod = flip_single_bit(ct, tracking.current_block_nr, bit, params.N, params.N2)
         if oracle.query(
-            ctmod, require_false=0.9999, require_true=0.99, result_meta=bits[bit]
+            require_false=0.9999,
+            require_true=0.99,
+            result_meta=bits[bit],
+            flipped_bit=(tracking.current_block_nr, bit),
         ):
             if save_results:
                 bits[bit]["result"] = IfFlipResult.SUCCESS
@@ -336,15 +403,16 @@ def find_minimal_failure_flips(params, tracking, oracle, ct, save_results=True):
                 )
                 successes.append((bit, bits[bit]["certainty"]))
         else:
+            # commit the unflip: fewer flips, still failing
+            oracle.flip_bit(tracking.current_block_nr, bit)
             bits[bit]["status"] = FlipStatus.UNFLIPPED
-            ct = ctmod  # fewer flips, still failing
-    return successes, ct
+    return successes
 
 
-def find_successes_by_flipping(params, tracking, oracle, ct):
+def find_successes_by_flipping(params, tracking, oracle):
     """From the minimal failure pattern, bits whose flip restores success are
     check-value-1 information (hqc.py:608-658)."""
-    oracle.assert_success(False, ct)
+    oracle.assert_success(False)
     bits = tracking.current_bits_status()
     available = [
         i
@@ -353,9 +421,11 @@ def find_successes_by_flipping(params, tracking, oracle, ct):
     ]
     successes, failures = [], []
     for bit in available:
-        ctmod = flip_single_bit(ct, tracking.current_block_nr, bit, params.N, params.N2)
         if oracle.query(
-            ctmod, require_false=0.99, require_true=0.999, result_meta=bits[bit]
+            require_false=0.99,
+            require_true=0.999,
+            result_meta=bits[bit],
+            flipped_bit=(tracking.current_block_nr, bit),
         ):
             bits[bit]["result"] = IfFlipResult.SUCCESS
             logger.info(
@@ -380,7 +450,7 @@ def _bucket(r, step=256):
 
 class CheckDecoder:
     """Accumulates parity checks (rows of the circulant Hgen) and decodes
-    ``[Hgen-rows | I]`` with per-position priors on TPU.
+    ``[Hgen-rows | I]`` with per-position priors on device.
 
     Avoids densifying H: each check row ``bit_n`` of ``circulant(first_row)``
     has support ``{(bit_n - k) mod N : k in supp(first_row)}``.  The check
@@ -542,11 +612,16 @@ def simulate_hqc_idealized_oracle(
     error_rate=0.0,
     param_set="128",
     max_oracle_calls=None,
+    oracle_backend="fast",
+    crosscheck_every=1000,
 ):
     """Full idealized-oracle key-recovery attack.  Returns (success, tracking).
 
-    ``max_oracle_calls`` bounds the run (None = run to recovery, like the
-    reference)."""
+    ``oracle_backend``: "fast" answers probes via incremental Walsh-spectrum
+    updates (one native decapsulation per plaintext), cross-checked against
+    the native path every ``crosscheck_every`` raw queries; "native"
+    decapsulates on every query like the reference.
+    ``max_oracle_calls`` bounds the run (None = run to recovery)."""
     rng = make_random_state(rng)
     params = make_params(param_set, decode_every, weight, error_rate)
     logger.info(f"Params {params}")
@@ -572,7 +647,10 @@ def simulate_hqc_idealized_oracle(
         ct, _ss = params.HQC.encaps_with_plaintext_and_r1(pub, pt, r1_sparse)
 
         y_times_r1 = sparse_times_sparse(y_sparse, r1_sparse, params.N)
-        oracle = HqcOracle(params, tracking, priv, pt, rng)
+        oracle = HqcOracle(
+            params, tracking, priv, pt, rng, ct,
+            backend=oracle_backend, crosscheck_every=crosscheck_every,
+        )
         if not isnan(error_rate) and error_rate > 0.0:
             oracle.assert_raises = False
 
@@ -582,21 +660,19 @@ def simulate_hqc_idealized_oracle(
                 if max_oracle_calls and tracking.num_oracle_calls > max_oracle_calls:
                     logger.warning("Oracle-call budget exhausted; stopping")
                     return False, tracking
-                ret = next_failure_block(params, tracking, oracle, rng, ct)
-                if ret is None:
+                current_block = next_failure_block(params, tracking, oracle, rng)
+                if current_block is None:
                     raise NoMoreUntestedRmBlocks
-                current_block, ct = ret
                 tracking.set_current_block_nr(current_block)
 
-                ret = next_failure_bit(params, tracking, oracle, rng, ct)
-                if ret is None:
+                bit = next_failure_bit(params, tracking, oracle, rng)
+                if bit is None:
                     tracking.current_block()["status"] = FlipStatus.UNFLIPPED
-                    oracle.assert_success(True, ct)
+                    oracle.assert_success(True)
                     break
-                _bit, _status, ct = ret
 
-                successes, ct = find_minimal_failure_flips(
-                    params, tracking, oracle, ct, save_results=True
+                successes = find_minimal_failure_flips(
+                    params, tracking, oracle, save_results=True
                 )
                 if add_checks(
                     params, tracking, decoder, 0, successes, check_bits, checks,
@@ -605,7 +681,7 @@ def simulate_hqc_idealized_oracle(
                     return True, tracking
 
                 successes, _failures = find_successes_by_flipping(
-                    params, tracking, oracle, ct
+                    params, tracking, oracle
                 )
                 if add_checks(
                     params, tracking, decoder, 1, successes, check_bits, checks,
@@ -613,7 +689,7 @@ def simulate_hqc_idealized_oracle(
                 ):
                     return True, tracking
 
-                ct = reset_current_block(params, tracking, ct)
-                ct = reset_full_block_flips(params, tracking, ct)
+                reset_current_block(params, tracking, oracle)
+                reset_full_block_flips(params, tracking, oracle)
         except NoMoreUntestedRmBlocks:
             continue

@@ -50,6 +50,9 @@ def _lib():
     lib.hqc_decaps.argtypes = [ctypes.c_int, u8p, u8p]
     lib.hqc_decaps.restype = ctypes.c_int
     lib.hqc_decode_oracle.argtypes = [ctypes.c_int, u8p, u8p, ctypes.c_uint64, u64p, u64p]
+    lib.hqc_rs_encode.argtypes = [ctypes.c_int, u8p, u8p]
+    lib.hqc_rs_decode.argtypes = [ctypes.c_int, u8p]
+    lib.hqc_rs_decode.restype = ctypes.c_int
     _LIB = lib
     return lib
 
