@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""HQC attack-simulation sweep driver.
+
+Replaces the reference's shell-level sweep (run-parallel-hqc-simulation.sh:
+one process per (label, weight) config, `wait -n` throttling, per-config log
+files used as resume markers).  Differences by design:
+
+- Configs run sequentially in ONE process: a TPU is single-tenant (and in
+  this environment every Python process claims it), and the attack's decode
+  batches already saturate the chip; host-level parallelism would only
+  contend.  Multi-host scale-out = run one sweep per host with disjoint
+  --labels and merge CSVs.
+- Resume markers are per-config .done files; stats append to one CSV
+  (same schema as the reference, readable by viz/).
+
+Example (the reference's default sweep, scaled down):
+    python scripts/sweep_hqc.py --csv sweep.csv --param-set 256 \
+        --weights 20 30 40 50 60 --labels $(seq 1 100) --decode-every 100
+"""
+
+import argparse
+import logging
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+logger = logging.getLogger("sweep")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--csv", required=True, help="output CSV (appended)")
+    ap.add_argument("--param-set", default="256")
+    ap.add_argument("--weights", type=int, nargs="+", default=[20, 30, 40, 50, 60])
+    ap.add_argument("--labels", nargs="+", default=[str(i) for i in range(1, 101)])
+    ap.add_argument("--decode-every", type=int, default=100)
+    ap.add_argument("--key-file", default=None)
+    ap.add_argument("--error-rate", type=float, default=0.0)
+    ap.add_argument("--seed-base", type=int, default=0)
+    ap.add_argument("--max-oracle-calls", type=int, default=None)
+    ap.add_argument("--oracle-backend", default="fast", choices=["fast", "native"])
+    ap.add_argument("--state-dir", default=None,
+                    help="resume-marker directory (default: <csv>.state)")
+    args = ap.parse_args()
+
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(message)s")
+    logging.getLogger("sca_ldpc_tpu").setLevel(logging.WARNING)
+
+    from sca_ldpc_tpu.models.hqc import simulate_hqc_idealized_oracle
+    from sca_ldpc_tpu.utils import make_random_state
+
+    state_dir = args.state_dir or (args.csv + ".state")
+    os.makedirs(state_dir, exist_ok=True)
+
+    configs = [(label, w) for label in args.labels for w in args.weights]
+    logger.info(f"{len(configs)} configs; resume markers in {state_dir}")
+
+    for i, (label, weight) in enumerate(configs):
+        marker = os.path.join(state_dir, f"{args.param_set}-{label}-w{weight}.done")
+        if os.path.exists(marker):
+            logger.info(f"[{i+1}/{len(configs)}] {label} w={weight}: done, skipping")
+            continue
+        seed = args.seed_base + hash((label, weight)) % (2**31)
+        t0 = time.time()
+        ok, tracking = simulate_hqc_idealized_oracle(
+            make_random_state(seed),
+            args.decode_every,
+            weight,
+            args.key_file,
+            args.error_rate,
+            args.param_set,
+            max_oracle_calls=args.max_oracle_calls,
+            oracle_backend=args.oracle_backend,
+        )
+        df = tracking.decoder_stats_data_frame(label=label)
+        header = not os.path.exists(args.csv)
+        df.to_csv(args.csv, mode="w" if header else "a", index=False, header=header)
+        with open(marker, "w") as f:
+            f.write(f"success={ok} wall={time.time()-t0:.1f}\n")
+        logger.info(
+            f"[{i+1}/{len(configs)}] {label} w={weight}: success={ok} "
+            f"oracle_calls={tracking.num_oracle_calls} wall={time.time()-t0:.1f}s"
+        )
+
+
+if __name__ == "__main__":
+    main()
