@@ -136,7 +136,62 @@ def bench_tpu(lay, probs, batch=1024, steps=20, max_iter=30,
     return steps * batch / dt, int(out) / (steps * batch)
 
 
+def bench_qary_medium(batch=64, iters=10, reps=3):
+    """Criterion 'medium decoder' equivalent (benches/decoder.rs:66-92):
+    N=450 R=150 DV=3 DC=7 B=7 Q=15, 10 iterations — batched."""
+    import jax
+
+    from sca_ldpc_tpu.codes import make_regular_ldpc_parity_check_matrix_identity
+    from sca_ldpc_tpu.ops import QaryDecoder
+    from sca_ldpc_tpu.utils import make_random_state
+
+    rng = make_random_state(1)
+    H = make_regular_ldpc_parity_check_matrix_identity(300, 150, 3, 6, rng).astype(np.int8)
+    dec = QaryDecoder(H, b_range=7, max_iter=iters)
+    q = 15
+    channel = np.zeros((batch, 450, q), np.float32)
+    channel[:, :, 7] = 1.0
+    channel[:, 1, 7] = 0.1
+    channel[:, 1, 14] = 0.9
+    ch = jax.device_put(channel)
+    out = dec.min_sum(ch)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(reps):
+        out = dec.min_sum(ch)
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / reps
+    ok = bool((np.asarray(out) == 0).all())
+    return batch / dt, ok
+
+
+def bench_kyber_decoder(batch=32, iters=10, reps=3):
+    """Kyber-768 production decoder (DecoderN1280R512SW6 equivalent,
+    lib.rs:65-75) — batched two-alphabet min-sum."""
+    import jax
+
+    from sca_ldpc_tpu.models.kyber import gen_ldpc_matrix, get_decoder
+
+    H = gen_ldpc_matrix(6, 0, check_blocks=2)
+    dec = get_decoder(6, H, 2, iterations=iters)
+    n_b, r = 768, 512
+    ch_b = np.full((batch, n_b, 5), 0.02, np.float32)
+    ch_b[:, :, 2] = 0.92
+    ch_s = np.zeros((batch, r, 25), np.float32)
+    ch_s[:, :, 12] = 1.0
+    out = dec.min_sum(jax.device_put(ch_b), jax.device_put(ch_s))
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(reps):
+        out = dec.min_sum(ch_b, ch_s)
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / reps
+    ok = bool((np.asarray(out)[:, :n_b] == 0).all())
+    return batch / dt, ok
+
+
 def main():
+    full = "--full" in sys.argv
     error_rate = 0.01
     max_iter = 30
     lay = build_code()
@@ -150,6 +205,14 @@ def main():
                                      max_iter=max_iter)
     print(f"# tpu: {tpu_fps:.1f} frames/s/chip, success {tpu_success:.4f}",
           file=sys.stderr)
+
+    if full:
+        qfps, qok = bench_qary_medium()
+        print(f"# qary medium decoder (N450 R150 B7 Q15, 10 iters): "
+              f"{qfps:.1f} decodes/s, correct={qok}", file=sys.stderr)
+        kfps, kok = bench_kyber_decoder()
+        print(f"# kyber-768 decoder (N1280 R512 SW6, 10 iters): "
+              f"{kfps:.1f} decodes/s, correct={kok}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "hqc128_parity_check_decode_frames_per_s_per_chip",

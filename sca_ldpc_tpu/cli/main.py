@@ -158,6 +158,34 @@ class Commands(CommandsBase):
         successes = simulate_frame_error_rate(H, errors_provider, args.runs, rng)
         logger.info(f"Success ratio {successes}/{args.runs}={successes/args.runs}")
 
+    def command_kyber_simulate(self, args):
+        """End-to-end Kyber-768 attack simulation (the integration the
+        reference leaves stubbed, kyber.py:379-435).  --error-rate maps to
+        1 - oracle accuracy (default accuracy 0.95)."""
+        from ..models.kyber import simulate_kyber_attack
+
+        rng = make_random_state(args.seed)
+        accuracy = 1.0 - args.error_rate if args.error_rate else 0.95
+        results = simulate_kyber_attack(
+            rng, accuracy=accuracy, num_patterns=3, num_patterns_sum=3,
+            sum_weight=6, check_blocks=2, iterations=10, runs=args.runs,
+        )
+        recovered = sum(r["recovered"] for r in results)
+        avg = np.mean([r["correct_coefficients"] for r in results])
+        logger.info(
+            f"Kyber-768: {recovered}/{len(results)} full recoveries, "
+            f"avg correct coefficients {avg:.1f}/{results[0]['total_coefficients']}"
+        )
+        if args.csv_output:
+            import pandas as pd
+
+            df = pd.DataFrame(results)
+            df["label"] = args.label
+            df["accuracy"] = accuracy
+            header = not exists(args.csv_output)
+            df.to_csv(args.csv_output, mode="w" if header else "a",
+                      index=False, header=header)
+
     # -- test runners -------------------------------------------------------
 
     def command_test(self, args):

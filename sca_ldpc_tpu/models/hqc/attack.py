@@ -449,27 +449,37 @@ def _bucket(r, step=256):
 
 
 class CheckDecoder:
-    """Accumulates parity checks (rows of the circulant Hgen) and decodes
-    ``[Hgen-rows | I]`` with per-position priors on device.
+    """Accumulates parity checks (rows of circulant generation matrices) and
+    decodes ``[H-rows | I]`` with per-position priors on device.
 
-    Avoids densifying H: each check row ``bit_n`` of ``circulant(first_row)``
-    has support ``{(bit_n - k) mod N : k in supp(first_row)}``.  The check
-    count is padded to a size bucket with inert identity-only rows so the
-    jitted decoder compiles once per bucket.
+    Checks can originate from different plaintexts' circulants (the attack
+    draws a fresh Hgen per plaintext while the check set persists,
+    hqc.py:1039-1056), so each check stores its own support row.  H is never
+    densified: the device layout is built straight from the support lists.
+    The check count is padded to a size bucket with inert identity-only rows
+    so the jitted decoder compiles once per bucket.
     """
 
-    def __init__(self, params, shifts):
+    def __init__(self, params):
         self.params = params
-        self.shifts = np.asarray(sorted(shifts), dtype=np.int64)
+        self.row_supports = []  # per check: sorted np.ndarray of column indices
 
-    def decode(self, tracking, check_bits, checks, y_sparse):
+    def add_row(self, shifts, bit_n):
+        """Record the support of circulant row ``bit_n``:
+        {(bit_n - k) mod N : k in shifts}."""
+        sup = np.sort((int(bit_n) - np.asarray(shifts, dtype=np.int64)) % self.params.N)
+        self.row_supports.append(sup)
+
+    def decode(self, tracking, checks, y_sparse):
         params = self.params
         N = params.N
-        w = len(self.shifts)
         R = len(checks)
+        assert R == len(self.row_supports)
+        w = max(len(s) for s in self.row_supports)
+        assert all(len(s) == w for s in self.row_supports), "mixed weights unsupported"
         R_pad = _bucket(R)
 
-        cols_h = np.sort((np.asarray(check_bits)[:, None] - self.shifts[None, :]) % N, axis=1)
+        cols_h = np.stack(self.row_supports)  # [R, w], already sorted
         rows = np.concatenate(
             [np.repeat(np.arange(R), w + 1), np.arange(R, R_pad)]
         )
@@ -527,7 +537,7 @@ class CheckDecoder:
         return success
 
 
-def add_check(check_bits, checks, y_times_r1, bit_n, check, certainty):
+def add_check(decoder, shifts, checks, y_times_r1, bit_n, check, certainty):
     """Record one measured parity check; warn on cheating-validated errors
     (hqc.py:885-908)."""
     if y_times_r1 is not None:
@@ -539,7 +549,7 @@ def add_check(check_bits, checks, y_times_r1, bit_n, check, certainty):
                 f"check={check}, true value={bit_set}"
             )
     logger.info(f"Adding to H the check={check} corresponding to bit {bit_n}.")
-    check_bits.append(bit_n)
+    decoder.add_row(shifts, bit_n)
     checks.append((check, certainty))
 
 
@@ -547,9 +557,9 @@ def add_checks(
     params,
     tracking,
     decoder: CheckDecoder,
+    shifts,
     check_value,
     bits,
-    check_bits,
     checks,
     y_sparse,
     y_times_r1,
@@ -559,7 +569,7 @@ def add_checks(
     previous_decoding = 0
     for b, certainty in bits:
         bit_n = tracking.current_block_nr * params.N2 + b
-        add_check(check_bits, checks, y_times_r1, bit_n, check_value, certainty)
+        add_check(decoder, shifts, checks, y_times_r1, bit_n, check_value, certainty)
         R = len(checks)
         if R % params.DECODE_EVERY == 0 and R != 0 and previous_decoding != R:
             previous_decoding = R
@@ -568,7 +578,7 @@ def add_checks(
                 f"{tracking.num_oracle_calls} decapsulation calls so far, "
                 f"{unsatisfied} unsatisfied checks out of {R}."
             )
-            if decoder.decode(tracking, check_bits, checks, y_sparse):
+            if decoder.decode(tracking, checks, y_sparse):
                 logger.info("Successfully decoded y")
                 return True
     return False
@@ -632,15 +642,15 @@ def simulate_hqc_idealized_oracle(
     y_sparse = sorted(y_sparse)
     logger.info(f"y weight: {len(y_sparse)}, y bits: {y_sparse}")
 
-    check_bits = []  # circulant row index per accumulated check
-    checks = []  # (value, certainty) per check
+    checks = []  # (value, certainty) per check; supports live in the decoder
+    decoder = CheckDecoder(params)
 
     while True:
         pt = search_distinguishable_plaintext(params.HQC, rng)
 
         logger.info(f"Create random (L/M)DPC parity check of size {params.N}")
         first_row = random_circulant_first_row(params.N, weight, rng)
-        decoder = CheckDecoder(params, np.flatnonzero(first_row))
+        shifts = np.flatnonzero(first_row)
 
         r1_sparse = sorted(int(i) for i in np.flatnonzero(first_row))
         assert weight == len(r1_sparse)
@@ -675,7 +685,7 @@ def simulate_hqc_idealized_oracle(
                     params, tracking, oracle, save_results=True
                 )
                 if add_checks(
-                    params, tracking, decoder, 0, successes, check_bits, checks,
+                    params, tracking, decoder, shifts, 0, successes, checks,
                     y_sparse, y_times_r1,
                 ):
                     return True, tracking
@@ -684,7 +694,7 @@ def simulate_hqc_idealized_oracle(
                     params, tracking, oracle
                 )
                 if add_checks(
-                    params, tracking, decoder, 1, successes, check_bits, checks,
+                    params, tracking, decoder, shifts, 1, successes, checks,
                     y_sparse, y_times_r1,
                 ):
                     return True, tracking

@@ -23,16 +23,16 @@ from sca_ldpc_tpu.utils import make_random_state
 def _run_decode(params, first_row, y_sparse, only_ones):
     tracking = HqcSimulationTracking(params)
     shifts = np.flatnonzero(first_row)
-    decoder = CheckDecoder(params, shifts)
+    decoder = CheckDecoder(params)
     r1_sparse = [int(i) for i in shifts]
     y_times_r1 = sparse_times_sparse(sorted(y_sparse), r1_sparse, params.N)
 
-    check_bits, checks = [], []
+    checks = []
     for bit_n in range(params.N):
         value = bit_n in y_times_r1
         if value or not only_ones:
-            add_check(check_bits, checks, y_times_r1, bit_n, value, certainty=1.0)
-    return decoder.decode(tracking, check_bits, checks, sorted(y_sparse)), tracking
+            add_check(decoder, shifts, checks, y_times_r1, bit_n, value, certainty=1.0)
+    return decoder.decode(tracking, checks, sorted(y_sparse)), tracking
 
 
 def test_toy_decode():
@@ -46,6 +46,33 @@ def test_toy_decode():
     assert tracking.decoder_stats[-1]["success"]
     assert tracking.decoder_stats[-1]["good_flips"] == len(y_sparse)
     assert tracking.decoder_stats[-1]["bad_flips"] == 0
+
+
+def test_multi_plaintext_decode():
+    """Checks accumulated from two different circulants (the attack draws a
+    fresh Hgen per plaintext while the check set persists, hqc.py:1039-1056)
+    must keep their own supports and still decode."""
+    params = HqcSimulationParams(Hqc128, None, None, None, WEIGHT=3, N_OVERRIDE=40)
+    tracking = HqcSimulationTracking(params)
+    rng = make_random_state(4)
+    y_sparse = [3, 11, 17, 29, 35]
+
+    decoder = CheckDecoder(params)
+    checks = []
+    for seed in [10, 11]:
+        row = random_circulant_first_row(params.N, params.WEIGHT, make_random_state(seed))
+        shifts = np.flatnonzero(row)
+        y_times_r1 = sparse_times_sparse(
+            sorted(y_sparse), [int(i) for i in shifts], params.N
+        )
+        # half the positions from each circulant
+        for bit_n in range(0, params.N, 2):
+            add_check(
+                decoder, shifts, checks, y_times_r1, bit_n,
+                bit_n in y_times_r1, certainty=1.0,
+            )
+    ok = decoder.decode(tracking, checks, sorted(y_sparse))
+    assert ok
 
 
 def test_full_decode():
