@@ -1,0 +1,61 @@
+"""Adaptive (tree-coded) Kyber measurement path."""
+
+import numpy as np
+import pytest
+
+from sca_ldpc_tpu.models.kyber.adaptive import tree_from_adaptive_pattern
+from sca_ldpc_tpu.models.kyber.patterns import get_restricted_single_patterns
+from sca_ldpc_tpu.models.kyber.posterior import (
+    pr_cond_yx_adaptive,
+    s_distribution_from_hard_y_adaptive,
+)
+
+
+@pytest.fixture
+def setup():
+    pattern = get_restricted_single_patterns(3, 0.995, 2.5625)
+    tree = tree_from_adaptive_pattern(pattern, eta=3)
+    prior = {}
+    from math import comb
+
+    b = 3
+    for s in range(-b, b + 1):
+        prior[s] = comb(2 * b, s + b) / 2 ** (2 * b)
+    return pattern, tree, prior
+
+
+def test_own_codeword_max_likelihood(setup):
+    """Walking a symbol's own codeword through the tree gives p^len — every
+    answer is 'correct' (max_likelihood.py:109-130 semantics)."""
+    pattern, tree, _ = setup
+    p = 0.98
+    b = 3
+    for s in range(-b, b + 1):
+        y = pattern[s + b]
+        got = pr_cond_yx_adaptive(y, s, p, tree)
+        assert got == pytest.approx(p ** len(y)), f"symbol {s}"
+
+
+def test_adaptive_posterior_normalizes(setup):
+    pattern, tree, prior = setup
+    from sca_ldpc_tpu.models.kyber.params import secret_range
+
+    def range3(sw):
+        return range(-3 * sw, 3 * sw + 1)
+
+    for s in [-3, 0, 2]:
+        y = pattern[s + 3]
+        post = s_distribution_from_hard_y_adaptive(
+            y, 0.95, lambda sw: range(-3, 4), tree, prior, 1
+        )
+        assert sum(post) == pytest.approx(1.0)
+        # the observed symbol should be the posterior mode among same-length codes
+        best = max(range(len(post)), key=lambda i: post[i])
+        assert abs((best - 3) - s) <= 1
+
+
+def test_code_parameters_util():
+    from sca_ldpc_tpu.codes.util import code_parameters, rep_code
+
+    n, k, r = code_parameters(rep_code(7))
+    assert (n, k, r) == (7, 1, 6)
