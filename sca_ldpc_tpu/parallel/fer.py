@@ -20,16 +20,59 @@ from ..ops.binary_bp import _bp_decode_syndrome
 from ..ops.circulant_bp import _circulant_bp
 
 
-def make_sharded_fer_step(layout, channel_probs, mesh, max_iter=50, method="product_sum"):
+def make_sharded_fer_step(layout, channel_probs, mesh, max_iter=50, method="product_sum",
+                          backend="xla"):
     """Build a jitted sharded step: (key, batch) -> (successes, converged, iters).
 
     ``layout``: CodeLayout or CirculantLayout.  ``channel_probs``: [n] error
     probabilities.  The returned callable samples its own errors on device
     from the given key (sharded), so no host->device transfer scales with
-    batch.
+    batch.  ``backend="pallas"`` (circulant layouts, TPU) decodes with the
+    fused VMEM-resident kernel, one instance per device via shard_map.
     """
     probs = jnp.asarray(np.asarray(channel_probs, np.float32))
     batch_sharding = NamedSharding(mesh, P(("data", "model")))
+
+    if backend == "pallas":
+        if not isinstance(layout, CirculantLayout) or not layout.with_identity:
+            raise ValueError("pallas backend requires a [circulant | I] layout")
+        from ..ops.kernels.circulant_pallas import circulant_bp_pallas
+
+        n = layout.n
+        shifts = layout.shifts
+        prior = jnp.log(
+            (1.0 - jnp.clip(probs, 1e-30, 1 - 1e-12)) / jnp.clip(probs, 1e-30, 1 - 1e-12)
+        )
+        n_dev = mesh.devices.size
+
+        def local_step(key, batch_local):
+            e = jax.random.bernoulli(key[0], probs[None, :], (batch_local, 2 * n)).astype(
+                jnp.int8
+            )
+            syn = (
+                (sum(jnp.roll(e[:, :n], k, axis=-1) for k in shifts) + e[:, n:]) % 2
+            ).astype(jnp.int32)
+            pc = jnp.broadcast_to(prior[:n], (batch_local, n))
+            pi = jnp.broadcast_to(prior[n:], (batch_local, n))
+            e_hat, conv = circulant_bp_pallas(pc, pi, syn, shifts, max_iter,
+                                              tb=8, method=method)
+            ok = jnp.all(e_hat == e.astype(jnp.int32), axis=-1)
+            return ok, conv
+
+        def step(key, batch):
+            assert batch % (8 * n_dev) == 0, "batch must be divisible by 8 * n_devices"
+            keys = jax.random.split(key, n_dev)
+            sharded = jax.shard_map(
+                lambda k: local_step(k, batch // n_dev),
+                mesh=mesh,
+                in_specs=P(("data", "model")),
+                out_specs=P(("data", "model")),
+                check_vma=False,  # pallas_call out_shapes carry no vma info
+            )
+            ok, conv = sharded(keys)
+            return jnp.sum(ok), jnp.sum(conv), jnp.int32(-1)
+
+        return jax.jit(step, static_argnames=("batch",))
 
     if isinstance(layout, CirculantLayout):
         n = layout.n
