@@ -9,6 +9,7 @@ from .attack import (
     toggle_bits_in_v,
     toggle_outer_block,
 )
+from .batched import simulate_hqc_attacks_batched
 
 __all__ = [
     "Hqc128",
@@ -20,6 +21,7 @@ __all__ = [
     "read_or_generate_keypair",
     "search_distinguishable_plaintext",
     "simulate_hqc_idealized_oracle",
+    "simulate_hqc_attacks_batched",
     "sparse_times_sparse",
     "shift_and_add_mod_2_sparse",
     "toggle_bits_in_v",

@@ -470,14 +470,24 @@ class CheckDecoder:
         sup = np.sort((int(bit_n) - np.asarray(shifts, dtype=np.int64)) % self.params.N)
         self.row_supports.append(sup)
 
-    def decode(self, tracking, checks, y_sparse):
+    def needed_dv(self):
+        """Max variable degree of the accumulated check rows (for
+        cross-instance shape alignment)."""
+        if not self.row_supports:
+            return 1
+        counts = np.bincount(np.concatenate(self.row_supports), minlength=self.params.N)
+        return max(1, int(counts.max()))
+
+    def build_arrays(self, checks, y_sparse, r_pad=None, dv=None):
+        """(layout, channel, msg) for the current check set, padded to a
+        bucket (or caller-supplied r_pad/dv for cross-instance batching)."""
         params = self.params
         N = params.N
         R = len(checks)
         assert R == len(self.row_supports)
         w = max(len(s) for s in self.row_supports)
         assert all(len(s) == w for s in self.row_supports), "mixed weights unsupported"
-        R_pad = _bucket(R)
+        R_pad = r_pad if r_pad is not None else _bucket(R)
 
         cols_h = np.stack(self.row_supports)  # [R, w], already sorted
         rows = np.concatenate(
@@ -489,7 +499,7 @@ class CheckDecoder:
                 N + np.arange(R, R_pad),
             ]
         )
-        layout = CodeLayout.from_edges(R_pad, N + R_pad, rows, cols, dc=w + 1)
+        layout = CodeLayout.from_edges(R_pad, N + R_pad, rows, cols, dc=w + 1, dv=dv)
 
         prob_one = len(y_sparse) / N
         channel = np.empty(N + R_pad, dtype=np.float32)
@@ -500,12 +510,13 @@ class CheckDecoder:
 
         msg = np.zeros(N + R_pad, dtype=np.int32)
         msg[N : N + R] = [c for (c, _p) in checks]
+        return layout, channel, msg
 
-        logger.info(f"Attempting decode with {R} checks (padded to {R_pad}).")
-        dec = BinaryBPDecoder(layout, max_iter=100, method="product_sum", channel_probs=channel)
-        decoded = np.asarray(dec.decode_received(msg))
-
-        # Statistics identical to hqc.py:709-758
+    def stats_from_decoded(self, tracking, decoded, checks, y_sparse):
+        """Statistics identical to hqc.py:709-758; returns success."""
+        params = self.params
+        N = params.N
+        R = len(checks)
         good_flips = bad_flips = 0
         unsatisfied = 0
         found_bad_sat = found_bad_unsat = 0
@@ -536,6 +547,15 @@ class CheckDecoder:
         )
         return success
 
+    def decode(self, tracking, checks, y_sparse, executor=None):
+        if executor is not None:
+            return executor.decode(self, tracking, checks, y_sparse)
+        layout, channel, msg = self.build_arrays(checks, y_sparse)
+        logger.info(f"Attempting decode with {len(checks)} checks (padded to {layout.r}).")
+        dec = BinaryBPDecoder(layout, max_iter=100, method="product_sum", channel_probs=channel)
+        decoded = np.asarray(dec.decode_received(msg))
+        return self.stats_from_decoded(tracking, decoded, checks, y_sparse)
+
 
 def add_check(decoder, shifts, checks, y_times_r1, bit_n, check, certainty):
     """Record one measured parity check; warn on cheating-validated errors
@@ -563,6 +583,7 @@ def add_checks(
     checks,
     y_sparse,
     y_times_r1,
+    executor=None,
 ):
     """Add measured bits as checks; attempt a decode every DECODE_EVERY
     (hqc.py:953-984).  Returns True on key recovery."""
@@ -578,7 +599,7 @@ def add_checks(
                 f"{tracking.num_oracle_calls} decapsulation calls so far, "
                 f"{unsatisfied} unsatisfied checks out of {R}."
             )
-            if decoder.decode(tracking, checks, y_sparse):
+            if decoder.decode(tracking, checks, y_sparse, executor=executor):
                 logger.info("Successfully decoded y")
                 return True
     return False
@@ -624,6 +645,8 @@ def simulate_hqc_idealized_oracle(
     max_oracle_calls=None,
     oracle_backend="fast",
     crosscheck_every=1000,
+    decode_executor=None,
+    keypair=None,
 ):
     """Full idealized-oracle key-recovery attack.  Returns (success, tracking).
 
@@ -631,13 +654,16 @@ def simulate_hqc_idealized_oracle(
     updates (one native decapsulation per plaintext), cross-checked against
     the native path every ``crosscheck_every`` raw queries; "native"
     decapsulates on every query like the reference.
-    ``max_oracle_calls`` bounds the run (None = run to recovery)."""
+    ``max_oracle_calls`` bounds the run (None = run to recovery).
+    ``decode_executor`` lets an orchestrator batch decode calls across
+    independent attack instances (see batched.py).  ``keypair`` supplies a
+    pre-generated (pub, priv) pair, overriding ``keyfile``."""
     rng = make_random_state(rng)
     params = make_params(param_set, decode_every, weight, error_rate)
     logger.info(f"Params {params}")
     tracking = HqcSimulationTracking(params)
 
-    pub, priv = read_or_generate_keypair(params.HQC, keyfile)
+    pub, priv = keypair if keypair is not None else read_or_generate_keypair(params.HQC, keyfile)
     _x, y_sparse = params.HQC.secrets_from_key(priv)
     y_sparse = sorted(y_sparse)
     logger.info(f"y weight: {len(y_sparse)}, y bits: {y_sparse}")
@@ -686,7 +712,7 @@ def simulate_hqc_idealized_oracle(
                 )
                 if add_checks(
                     params, tracking, decoder, shifts, 0, successes, checks,
-                    y_sparse, y_times_r1,
+                    y_sparse, y_times_r1, executor=decode_executor,
                 ):
                     return True, tracking
 
@@ -695,7 +721,7 @@ def simulate_hqc_idealized_oracle(
                 )
                 if add_checks(
                     params, tracking, decoder, shifts, 1, successes, checks,
-                    y_sparse, y_times_r1,
+                    y_sparse, y_times_r1, executor=decode_executor,
                 ):
                     return True, tracking
 

@@ -1,0 +1,174 @@
+"""Batched multi-instance HQC attacks.
+
+Runs I independent attack instances (each with its own key, RNG, plaintexts
+and check set) concurrently, batching their periodic LDPC decodes into one
+vmapped device call (SURVEY §7.4: "many independent attack instances batched
+across devices").  The adaptive per-instance control flow stays on host
+threads; the device sees a single ``[I, R_pad, ...]`` decode.
+
+The orchestration is a barrier batcher: an instance reaching a decode point
+blocks until every live instance has one pending (instances advance at
+matched cadences — one decode per DECODE_EVERY checks), then the last
+arrival runs the batched decode for everyone.  Instances that finish
+deregister, shrinking the barrier.
+"""
+
+import logging
+import threading
+
+import numpy as np
+
+from ...ops.binary_bp import _bp_decode_syndrome
+from ...utils import make_random_state
+from .attack import make_params, simulate_hqc_idealized_oracle
+
+logger = logging.getLogger(__name__)
+
+
+def _batched_decode_received(layouts, channels, msgs, max_iter=100, method="product_sum"):
+    """vmapped received-vector BP decode over per-instance layouts.
+
+    All instances must share (R_pad, N, DC) — guaranteed by bucketing to the
+    batch-wide maximum.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    chk_var = jnp.stack([jnp.asarray(l.chk_var) for l in layouts])
+    chk_mask = jnp.stack([jnp.asarray(l.chk_mask) for l in layouts])
+    var_flat = jnp.stack([jnp.asarray(l.var_flat) for l in layouts])
+    var_mask = jnp.stack([jnp.asarray(l.var_mask) for l in layouts])
+    prior = jnp.stack(
+        [jnp.asarray(np.log((1 - c) / c), jnp.float32) for c in channels]
+    )
+    z = jnp.stack([jnp.asarray(m, jnp.int32) for m in msgs])
+    dc = layouts[0].dc
+    r = layouts[0].r
+
+    def one(chk_var, chk_mask, var_flat, var_mask, prior, z):
+        z_pad = jnp.concatenate([z, jnp.zeros((1,), jnp.int32)], axis=-1)
+        bits = jnp.take(z_pad, chk_var.reshape(-1), axis=-1).reshape(r, dc)
+        syn = jnp.sum(jnp.where(chk_mask, bits, 0), axis=-1) % 2
+        e, conv, it = _bp_decode_syndrome(
+            chk_var, chk_mask, var_flat, var_mask, prior, syn[None], max_iter, method, dc
+        )
+        return (z + e[0]) % 2
+
+    decoded = jax.vmap(one)(chk_var, chk_mask, var_flat, var_mask, prior, z)
+    return np.asarray(decoded)
+
+
+class BatchedDecodeExecutor:
+    """Barrier batcher: collects one pending decode per live instance, runs
+    them as a single vmapped call, distributes results."""
+
+    def __init__(self, num_instances, max_iter=100, method="product_sum"):
+        self._lock = threading.Condition()
+        self._live = num_instances
+        self._pending = {}  # thread ident -> (decoder, tracking, checks, y_sparse)
+        self._results = {}
+        self._generation = 0
+        self.max_iter = max_iter
+        self.method = method
+        self.batched_calls = 0
+
+    def deregister(self):
+        with self._lock:
+            self._live -= 1
+            if self._pending and len(self._pending) >= self._live:
+                self._run_batch_locked()
+                self._lock.notify_all()
+
+    def decode(self, decoder, tracking, checks, y_sparse) -> bool:
+        me = threading.get_ident()
+        with self._lock:
+            gen = self._generation
+            self._pending[me] = (decoder, tracking, list(checks), list(y_sparse))
+            if len(self._pending) >= self._live:
+                self._run_batch_locked()
+                self._lock.notify_all()
+            else:
+                self._lock.wait_for(
+                    lambda: me in self._results or self._generation > gen
+                )
+            result = self._results.pop(me)
+            if isinstance(result, BaseException):
+                raise result
+            return result
+
+    def _run_batch_locked(self):
+        items = list(self._pending.items())
+        self._pending.clear()
+        self._generation += 1
+        self.batched_calls += 1
+        try:
+            from .attack import _bucket
+
+            r_pad = max(_bucket(len(checks)) for _tid, (_d, _t, checks, _y) in items)
+            dv = max(dec.needed_dv() for _tid, (dec, _t, _c, _y) in items)
+            builds = [
+                (tid, dec, tr, checks, y, *dec.build_arrays(checks, y, r_pad=r_pad, dv=dv))
+                for tid, (dec, tr, checks, y) in items
+            ]
+            layouts = [b[5] for b in builds]
+            channels = [b[6] for b in builds]
+            msgs = [b[7] for b in builds]
+            logger.info(
+                f"Batched decode: {len(items)} instances, R_pad={r_pad}, DV={dv}"
+            )
+            decoded = _batched_decode_received(
+                layouts, channels, msgs, self.max_iter, self.method
+            )
+            for i, (tid, dec, tr, checks, y, *_rest) in enumerate(builds):
+                self._results[tid] = dec.stats_from_decoded(tr, decoded[i], checks, y)
+        except BaseException as e:  # propagate to every waiter
+            for tid, _ in items:
+                self._results[tid] = e
+
+
+def simulate_hqc_attacks_batched(
+    seeds,
+    decode_every: int,
+    weight: int,
+    error_rate=0.0,
+    param_set="128",
+    max_oracle_calls=None,
+    oracle_backend="fast",
+):
+    """Run len(seeds) independent attack instances with batched decodes.
+
+    Each instance attacks its own random key.  Returns a list of
+    (success, tracking) in seed order.
+    """
+    executor = BatchedDecodeExecutor(len(seeds))
+    results = [None] * len(seeds)
+    params = make_params(param_set, decode_every, weight, error_rate)
+    keypairs = [params.HQC.keypair() for _ in seeds]
+
+    def run(i, seed):
+        try:
+            results[i] = simulate_hqc_idealized_oracle(
+                make_random_state(seed),
+                decode_every,
+                weight,
+                keyfile=None,
+                error_rate=error_rate,
+                param_set=param_set,
+                max_oracle_calls=max_oracle_calls,
+                oracle_backend=oracle_backend,
+                decode_executor=executor,
+                keypair=keypairs[i],
+            )
+        finally:
+            executor.deregister()
+
+    threads = [
+        threading.Thread(target=run, args=(i, s), daemon=True)
+        for i, s in enumerate(seeds)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    logger.info(f"Batched run: {executor.batched_calls} batched decode calls")
+    return results, executor.batched_calls

@@ -1,0 +1,18 @@
+"""Batched multi-instance attack orchestration (SURVEY §7.4)."""
+
+import pytest
+
+from sca_ldpc_tpu.models.hqc import simulate_hqc_attacks_batched
+
+
+@pytest.mark.slow
+def test_two_instances_batched_decode():
+    results, batched_calls = simulate_hqc_attacks_batched(
+        [101, 202], decode_every=100, weight=20, max_oracle_calls=60000
+    )
+    assert len(results) == 2
+    for ok, tracking in results:
+        assert ok, "instance failed to recover its key"
+        assert tracking.decoder_stats[-1]["success"]
+        assert tracking.decoder_stats[-1]["bad_flips"] == 0
+    assert batched_calls >= 1

@@ -200,3 +200,30 @@ def test_special_decoder_recovers_secret():
     out = np.asarray(dec.min_sum(ch_b, ch_s))
     assert (out[:n_b] == s).all()
     assert (out[n_b:] == sums).all()
+
+
+def test_decoder_registry():
+    """Reference decoder-instance names resolve to working decoders
+    (lib.rs:32-75 registration + decode.py:227-229 reflection)."""
+    from sca_ldpc_tpu.ops import decoder_name_for, get_decoder_by_name
+
+    rng = make_random_state(1)
+    H = make_regular_ldpc_parity_check_matrix_identity(300, 150, 3, 6, rng).astype(np.int8)
+    name = decoder_name_for(H, 1)
+    assert name == "DecoderN450R150V3C7B1"
+    dec = get_decoder_by_name(name, H, iterations=5)
+    q = 3
+    ch = np.zeros((450, q), np.float32)
+    ch[:, 1] = 1.0
+    assert (np.asarray(dec.min_sum(ch)) == 0).all()
+
+    from sca_ldpc_tpu.models.kyber import gen_ldpc_matrix
+
+    Hk = gen_ldpc_matrix(6, 0, check_blocks=2)
+    deck = get_decoder_by_name("DecoderN1280R512SW6", Hk, iterations=3)
+    assert deck.sw == 6 and deck.bsum == 12
+
+    with pytest.raises(ValueError):
+        get_decoder_by_name("DecoderBogus", H, 5)
+    with pytest.raises(ValueError):
+        get_decoder_by_name("DecoderN450R150V3C7B1", H[:, :-1], 5)
