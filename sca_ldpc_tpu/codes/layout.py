@@ -18,7 +18,7 @@ of two HBM-resident layouts:
   gathers — the TPU-native replacement for sparse edge walks.
 """
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

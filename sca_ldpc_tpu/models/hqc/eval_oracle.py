@@ -9,8 +9,6 @@ accuracy against the number of measurements.
 
 import logging
 
-import numpy as np
-
 from .attack import (
     read_or_generate_keypair,
     search_distinguishable_plaintext,

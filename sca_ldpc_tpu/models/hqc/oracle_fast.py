@@ -88,8 +88,6 @@ class FastCiphertextState:
             :n1n2
         ]
         # true RS codeword symbols of the attacked plaintext
-        import ctypes
-
         from .model import _lib, _buf, _out
 
         lib = _lib()

@@ -10,8 +10,6 @@ pattern set, so the adaptive posteriors are actually usable.
 
 from dataclasses import dataclass
 
-from .params import ETA
-
 
 @dataclass
 class CodingNode:

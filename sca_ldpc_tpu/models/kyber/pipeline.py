@@ -15,7 +15,7 @@ import numpy as np
 
 from ...ops.qary_special import QarySpecialDecoder
 from ...utils import make_random_state
-from .params import BLOCK_LEN, ETA, NUM_BLOCKS, secret_range
+from .params import BLOCK_LEN, ETA, NUM_BLOCKS
 from .patterns import coding_from_patterns, get_patterns
 from .posterior import posteriors_from_hard
 from .secrets import (

@@ -7,8 +7,6 @@ collectives for the scalar reductions (SURVEY §2.3's replacement for the
 reference's thread pool + CSV merging).
 """
 
-from functools import partial
-
 import numpy as np
 
 import jax

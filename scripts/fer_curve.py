@@ -33,7 +33,7 @@ def main():
     import numpy as np
     import jax
 
-    from bench import build_code, bench_cpu, cpu_reference_decode
+    from bench import build_code, cpu_reference_decode
     from sca_ldpc_tpu.parallel.fer import make_sharded_fer_step
     from sca_ldpc_tpu.parallel.mesh import make_mesh
 

@@ -6,8 +6,6 @@ because the RNG draw sequences are kept identical.
 """
 
 import numpy as np
-import pytest
-
 from sca_ldpc_tpu.codes import (
     CodeLayout,
     CirculantLayout,

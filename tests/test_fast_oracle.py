@@ -3,7 +3,6 @@
 The attack's correctness rests on the fast oracle answering identically to
 the native decode path for every ciphertext modification it performs."""
 
-import numpy as np
 import pytest
 
 from sca_ldpc_tpu.models.hqc import Hqc128, toggle_bits_in_v, toggle_outer_block

@@ -1,6 +1,5 @@
 """HQC-192/256 parameter-set coverage of the native model and fast oracle."""
 
-import numpy as np
 import pytest
 
 from sca_ldpc_tpu.models.hqc import Hqc192, Hqc256, toggle_outer_block

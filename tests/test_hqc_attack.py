@@ -8,7 +8,6 @@ Ports the reference's embedded integration tests:
 """
 
 import numpy as np
-import pytest
 
 from sca_ldpc_tpu.codes.make_code import (
     make_random_ldpc_parity_check_matrix,

@@ -1,6 +1,5 @@
 """Adaptive (tree-coded) Kyber measurement path."""
 
-import numpy as np
 import pytest
 
 from sca_ldpc_tpu.models.kyber.adaptive import tree_from_adaptive_pattern
@@ -38,8 +37,6 @@ def test_own_codeword_max_likelihood(setup):
 
 def test_adaptive_posterior_normalizes(setup):
     pattern, tree, prior = setup
-    from sca_ldpc_tpu.models.kyber.params import secret_range
-
     def range3(sw):
         return range(-3 * sw, 3 * sw + 1)
 

@@ -4,7 +4,6 @@ compiled path is exercised on hardware by bench.py and __graft_entry__)."""
 import numpy as np
 import pytest
 
-import jax
 import jax.numpy as jnp
 
 from sca_ldpc_tpu.codes.layout import CirculantLayout
