@@ -103,22 +103,16 @@ def bench_tpu(lay, probs, batch=1024, steps=20, max_iter=30,
     import jax
     import jax.numpy as jnp
 
-    from sca_ldpc_tpu.ops.kernels.circulant_pallas import circulant_bp_pallas
+    from sca_ldpc_tpu.ops.kernels.circulant_pallas import circulant_fer_pallas
 
     n = lay.n
     probs_j = jnp.asarray(probs)
-    prior_vec = jnp.log((1 - probs_j) / probs_j)
+    err = float(np.asarray(probs).ravel()[0])
 
     def one_step(key):
         e = jax.random.bernoulli(key, probs_j[None, :], (batch, 2 * n)).astype(jnp.int8)
-        syn = (
-            (sum(jnp.roll(e[:, :n], k, axis=-1) for k in lay.shifts) + e[:, n:]) % 2
-        ).astype(jnp.int32)
-        pc = jnp.broadcast_to(prior_vec[:n], (batch, n))
-        pi = jnp.broadcast_to(prior_vec[n:], (batch, n))
-        e_hat, conv = circulant_bp_pallas(pc, pi, syn, lay.shifts, max_iter,
-                                          tb=8, method=method)
-        return jnp.sum(jnp.all(e_hat == e.astype(jnp.int32), axis=-1))
+        ok = circulant_fer_pallas(e, lay.shifts, err, max_iter, tb=8, method=method)
+        return jnp.sum(ok)
 
     @jax.jit
     def multi(key):

@@ -260,18 +260,10 @@ class HqcOracle:
                 result = not result
         return result, keep_rate
 
-    def query(self, require_false=0.5, require_true=0.5, result_meta=None,
-              debug=False, flipped_bit=None):
-        """Repeat the oracle until the accumulated certainty of the winning
-        answer reaches its threshold: certainty = 1 - prod(1 - p_i)
-        (hqc.py:782-807).  ``flipped_bit=(block, bit)`` probes a hypothetical
-        single-bit modification without mutating the ciphertext."""
-        vbit = None
-        if flipped_bit is not None:
-            block, bit = flipped_bit
-            vbit = block * self.params.N2 + bit
-        raw = self._raw(vbit)
-        require = (require_false, require_true)
+    def _amplify(self, raw, require, result_meta, debug):
+        """Certainty amplification of one raw answer under epsilon noise:
+        repeat until 1 - prod(1 - p_i) of the winning side crosses its
+        threshold (hqc.py:782-807)."""
         collected = ([], [])
         while True:
             result, certainty = self._noisy(raw, debug)
@@ -281,6 +273,34 @@ class HqcOracle:
                 if isinstance(result_meta, dict):
                     result_meta["certainty"] = acc
                 return result
+
+    def query(self, require_false=0.5, require_true=0.5, result_meta=None,
+              debug=False, flipped_bit=None):
+        """Certainty-amplified query.  ``flipped_bit=(block, bit)`` probes a
+        hypothetical single-bit modification without mutating the
+        ciphertext."""
+        vbit = None
+        if flipped_bit is not None:
+            block, bit = flipped_bit
+            vbit = block * self.params.N2 + bit
+        raw = self._raw(vbit)
+        return self._amplify(raw, (require_false, require_true), result_meta, debug)
+
+    def query_candidates(self, block, bits, require_false, require_true, metas):
+        """Batch-probe single-bit flips of ``bits`` within ``block``: raw
+        answers come from one vectorized spectrum update (fast backend);
+        noise amplification runs per bit.  Returns [len(bits)] bools."""
+        vbits = [block * self.params.N2 + b for b in bits]
+        if self.state is not None:
+            raws = self.state.probe_bits(vbits)
+            self._raw_count += len(vbits)
+        else:
+            raws = [self._raw(v) for v in vbits]
+        require = (require_false, require_true)
+        return [
+            self._amplify(bool(raw), require, meta, debug=False)
+            for raw, meta in zip(raws, metas)
+        ]
 
     def assert_success(self, expect):
         """Validate the assumed oracle state at very high certainty;
@@ -420,13 +440,12 @@ def find_successes_by_flipping(params, tracking, oracle):
         if b["result"] == IfFlipResult.UNKNOWN and b["status"] == FlipStatus.UNFLIPPED
     ]
     successes, failures = [], []
-    for bit in available:
-        if oracle.query(
-            require_false=0.99,
-            require_true=0.999,
-            result_meta=bits[bit],
-            flipped_bit=(tracking.current_block_nr, bit),
-        ):
+    answers = oracle.query_candidates(
+        tracking.current_block_nr, available, 0.99, 0.999,
+        [bits[b] for b in available],
+    )
+    for bit, ans in zip(available, answers):
+        if ans:
             bits[bit]["result"] = IfFlipResult.SUCCESS
             logger.info(
                 f"Decoding success if flipping bit {bit} in block "

@@ -34,28 +34,21 @@ def make_sharded_fer_step(layout, channel_probs, mesh, max_iter=50, method="prod
     if backend == "pallas":
         if not isinstance(layout, CirculantLayout) or not layout.with_identity:
             raise ValueError("pallas backend requires a [circulant | I] layout")
-        from ..ops.kernels.circulant_pallas import circulant_bp_pallas
+        from ..ops.kernels.circulant_pallas import circulant_fer_pallas
 
         n = layout.n
         shifts = layout.shifts
-        prior = jnp.log(
-            (1.0 - jnp.clip(probs, 1e-30, 1 - 1e-12)) / jnp.clip(probs, 1e-30, 1 - 1e-12)
-        )
+        err = float(np.asarray(channel_probs).ravel()[0])
+        if not np.allclose(np.asarray(channel_probs), err):
+            raise ValueError("pallas FER backend supports uniform error rates")
         n_dev = mesh.devices.size
 
         def local_step(key, batch_local):
             e = jax.random.bernoulli(key[0], probs[None, :], (batch_local, 2 * n)).astype(
                 jnp.int8
             )
-            syn = (
-                (sum(jnp.roll(e[:, :n], k, axis=-1) for k in shifts) + e[:, n:]) % 2
-            ).astype(jnp.int32)
-            pc = jnp.broadcast_to(prior[:n], (batch_local, n))
-            pi = jnp.broadcast_to(prior[n:], (batch_local, n))
-            e_hat, conv = circulant_bp_pallas(pc, pi, syn, shifts, max_iter,
-                                              tb=8, method=method)
-            ok = jnp.all(e_hat == e.astype(jnp.int32), axis=-1)
-            return ok, conv
+            ok = circulant_fer_pallas(e, shifts, err, max_iter, tb=8, method=method)
+            return ok, ok
 
         def step(key, batch):
             assert batch % (8 * n_dev) == 0, "batch must be divisible by 8 * n_devices"
