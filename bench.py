@@ -75,19 +75,23 @@ def cpu_reference_decode(lay, prior_llr, syndrome, max_iter=30):
     return np.concatenate([e_c, e_i]), it + 1
 
 
-def bench_cpu(lay, probs, error_rate, frames=3, max_iter=30, seed=0):
+def bench_cpu(lay, probs, error_rate, frames=4, max_iter=30, seed=0):
+    """Per-frame CPU reference rate.  The rate is taken from the FASTEST
+    frame (least host contention) — the measurement most generous to the
+    baseline."""
     rng = np.random.RandomState(seed)
     n_vars = lay.n_vars
     prior = np.log((1 - probs) / probs).astype(np.float64)
     ok = 0
-    t0 = time.time()
+    best = float("inf")
     for _ in range(frames):
         e = (rng.rand(n_vars) < error_rate).astype(int)
         syn = (sum(np.roll(e[: lay.n], k) for k in lay.shifts) + e[lay.n :]) % 2
+        t0 = time.time()
         e_hat, _iters = cpu_reference_decode(lay, prior, syn, max_iter)
+        best = min(best, time.time() - t0)
         ok += int((e_hat == e).all())
-    dt = time.time() - t0
-    return frames / dt, ok / frames
+    return 1.0 / best, ok / frames
 
 
 # ---------------------------------------------------------------------------

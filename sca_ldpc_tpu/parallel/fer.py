@@ -111,18 +111,19 @@ def make_sharded_fer_step(layout, channel_probs, mesh, max_iter=50, method="prod
     return jax.jit(step, static_argnames=("batch",))
 
 
-def sharded_fer_simulation(layout, channel_probs, runs, key, mesh, batch=None, max_iter=50, method="product_sum"):
+def sharded_fer_simulation(layout, channel_probs, runs, key, mesh, batch=None, max_iter=50, method="product_sum", backend="xla"):
     """Run ``runs`` frames in sharded batches; returns (successes, frames)."""
     n_dev = mesh.devices.size
+    gran = 8 * n_dev if backend == "pallas" else n_dev
     if batch is None:
-        batch = min(runs, 256 * n_dev)
-    batch = max(n_dev, (batch // n_dev) * n_dev)
-    step = make_sharded_fer_step(layout, channel_probs, mesh, max_iter, method)
+        batch = min(max(runs, gran), 256 * n_dev)
+    batch = max(gran, (batch // gran) * gran)
+    step = make_sharded_fer_step(layout, channel_probs, mesh, max_iter, method, backend=backend)
     successes = 0
     done = 0
     while done < runs:
-        cur = min(batch, max(n_dev, runs - done))
-        cur = max(n_dev, (cur // n_dev) * n_dev)
+        cur = min(batch, max(gran, runs - done))
+        cur = max(gran, (cur // gran) * gran)
         key, sub = jax.random.split(key)
         ok, _conv, _it = step(sub, cur)
         successes += int(ok)
