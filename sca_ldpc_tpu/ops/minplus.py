@@ -38,7 +38,7 @@ def identity(width, like=None, dtype=jnp.float32):
     return v
 
 
-def conv(a, b, s_out):
+def conv(a, b, s_out, a_half_support=None):
     """Centered min-plus convolution.
 
     ``a``: [..., 2*Sa+1] supported on symbols [-Sa..Sa]; ``b``: [..., 2*Sb+1];
@@ -46,6 +46,8 @@ def conv(a, b, s_out):
     (terms whose b-index falls outside b's support contribute BIG).
 
     The loop runs over ``a``'s width, so pass the narrower operand first.
+    ``a_half_support`` restricts the loop to symbols [-h..h] of ``a`` when the
+    caller knows the rest is BIG (prefix/suffix chains have growing support).
     """
     wa = a.shape[-1]
     wb = b.shape[-1]
@@ -55,8 +57,13 @@ def conv(a, b, s_out):
     pad = max(0, sa + s_out - sb)
     b_pad = jnp.pad(b, [(0, 0)] * (b.ndim - 1) + [(pad, pad)], constant_values=BIG)
 
+    if a_half_support is None:
+        lo, hi = 0, wa
+    else:
+        h = min(int(a_half_support), sa)
+        lo, hi = sa - h, sa + h + 1
     out = None
-    for i in range(wa):
+    for i in range(lo, hi):
         start = off - i + pad
         term = a[..., i : i + 1] + b_pad[..., start : start + w_out]
         out = term if out is None else jnp.minimum(out, term)
@@ -71,8 +78,13 @@ def chain_exclusive(alphas, s_mid, extra=None):
     operands except j (optionally also convolved with ``extra`` [..., We]).
     ``s_mid`` must cover the support of any (D-1)-operand partial conv
     (plus extra's support if given).
+
+    Prefix/suffix partial convs have support +-(count * B): the exclusive
+    combine loops only that window instead of the full padded width.
     """
     d = alphas.shape[-2]
+    q = alphas.shape[-1]
+    b_sup = (q - 1) // 2
     w_mid = 2 * s_mid + 1
 
     prefix = [identity(w_mid, like=alphas[..., 0, :])]
@@ -85,13 +97,14 @@ def chain_exclusive(alphas, s_mid, extra=None):
 
     outs = []
     for j in range(d):
-        e = conv_pair(prefix[j], suffix[j], s_mid)
+        # prefix[j] combines j operands -> support +-(j * b_sup)
+        e = conv_pair(prefix[j], suffix[j], s_mid, a_half_support=j * b_sup)
         if extra is not None:
             e = conv(extra, e, s_mid) if extra.shape[-1] <= w_mid else conv(e, extra, s_mid)
         outs.append(e)
     return jnp.stack(outs, axis=-2)
 
 
-def conv_pair(a, b, s_out):
+def conv_pair(a, b, s_out, a_half_support=None):
     """Min-plus conv of two same-width operands (loops over the first)."""
-    return conv(a, b, s_out)
+    return conv(a, b, s_out, a_half_support=a_half_support)
