@@ -25,7 +25,9 @@ def _lib():
         return _LIB
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
     so = os.path.join(root, "csrc", "libhqc_core.so")
-    if not os.path.exists(so):
+    src = os.path.join(root, "csrc", "hqc_core.cpp")
+    stale = os.path.exists(so) and os.path.exists(src) and os.path.getmtime(src) > os.path.getmtime(so)
+    if not os.path.exists(so) or stale:
         subprocess.run(["make", "-C", os.path.join(root, "csrc")], check=True)
     lib = ctypes.CDLL(so)
 
