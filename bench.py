@@ -115,7 +115,7 @@ def bench_tpu(lay, probs, batch=1024, steps=20, max_iter=30,
 
     def one_step(key):
         e = jax.random.bernoulli(key, probs_j[None, :], (batch, 2 * n)).astype(jnp.int8)
-        ok = circulant_fer_pallas(e, lay.shifts, err, max_iter, tb=8, method=method)
+        ok, _conv = circulant_fer_pallas(e, lay.shifts, err, max_iter, tb=8, method=method)
         return jnp.sum(ok)
 
     @jax.jit

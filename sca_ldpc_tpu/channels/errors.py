@@ -55,7 +55,7 @@ class ErrorsProvider:
             if threshold > rand:
                 return res
             res += 1
-        return res  # numerical fall-through: last symbol
+        return res - 1  # numerical fall-through (probs summing <1): last symbol
 
     def get_error_rate(self):
         return self.error_rate if self.error_distribution is None else None

@@ -13,6 +13,7 @@ from os.path import exists
 import numpy as np
 
 from ..channels import ErrorsProvider
+from ..codes.util import rep_code
 from ..codes import (
     make_qc_parity_check_matrix,
     make_regular_ldpc_parity_check_matrix,
@@ -23,15 +24,6 @@ from ..utils import make_random_state
 from ..utils.commands import CommandsBase
 
 logger = logging.getLogger("main")
-
-
-def rep_code(n):
-    """Repetition-code H (stand-in for ldpc.codes.rep_code, main.py:42)."""
-    H = np.zeros((n - 1, n), dtype=int)
-    for i in range(n - 1):
-        H[i, i] = 1
-        H[i, i + 1] = 1
-    return H
 
 
 class Commands(CommandsBase):

@@ -293,7 +293,15 @@ class HqcOracle:
         vbits = [block * self.params.N2 + b for b in bits]
         if self.state is not None:
             raws = self.state.probe_bits(vbits)
+            prev = self._raw_count
             self._raw_count += len(vbits)
+            ce = self.crosscheck_every
+            if ce and vbits and prev // ce != self._raw_count // ce:
+                # the batch crossed a checkpoint: native-verify one candidate
+                ct = toggle_bits_in_v(self.ct, [vbits[0]], self.params.N)
+                assert self._native_success(ct) == bool(raws[0]), (
+                    "fast oracle diverged from native decode (batched probe)"
+                )
         else:
             raws = [self._raw(v) for v in vbits]
         require = (require_false, require_true)

@@ -191,7 +191,7 @@ def _make_fer_kernel(shifts, n, tb, max_iter, prior, method):
     prior_f = float(prior)
     base = _make_kernel(shifts, n, tb, max_iter, method)
 
-    def kernel(e_c_ref, e_i_ref, ok_ref, v2c, eh_c, eh_i, conv):
+    def kernel(e_c_ref, e_i_ref, ok_ref, conv_out, v2c, eh_c, eh_i):
         e_c = e_c_ref[:]  # [TB, N] f32 0/1 true errors
         e_i = e_i_ref[:]
         syn = e_i
@@ -210,7 +210,7 @@ def _make_fer_kernel(shifts, n, tb, max_iter, prior, method):
 
         pc = jnp.full((tb, n), prior_f, jnp.float32)
         pi = jnp.full((tb, n), prior_f, jnp.float32)
-        base(_Const(pc), _Const(pi), _Const(syn), eh_c, eh_i, conv, v2c)
+        base(_Const(pc), _Const(pi), _Const(syn), eh_c, eh_i, conv_out, v2c)
 
         diff = jnp.sum(jnp.abs(eh_c[:] - e_c), axis=-1, keepdims=True)
         diff = diff + jnp.sum(jnp.abs(eh_i[:] - e_i), axis=-1, keepdims=True)
@@ -222,8 +222,8 @@ def _make_fer_kernel(shifts, n, tb, max_iter, prior, method):
 @partial(jax.jit, static_argnames=("shifts", "max_iter", "tb", "method", "error_rate"))
 def circulant_fer_pallas(errors, shifts: tuple, error_rate: float, max_iter: int,
                          tb: int = 8, method: str = "product_sum"):
-    """FER step core: [B, 2N] error bits in -> [B] success flags out, with
-    syndrome formation, decode, and comparison all in VMEM."""
+    """FER step core: [B, 2N] error bits in -> ([B] success, [B] converged)
+    flags, with syndrome formation, decode, and comparison all in VMEM."""
     import numpy as np
 
     b = errors.shape[0]
@@ -236,18 +236,20 @@ def circulant_fer_pallas(errors, shifts: tuple, error_rate: float, max_iter: int
     spec = pl.BlockSpec((tb, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
     conv_spec = pl.BlockSpec((tb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
     e = errors.astype(jnp.float32)
-    ok = pl.pallas_call(
+    ok, conv = pl.pallas_call(
         kernel,
         grid=(b // tb,),
         in_specs=[spec, spec],
-        out_specs=conv_spec,
-        out_shape=jax.ShapeDtypeStruct((b, 1), jnp.float32),
+        out_specs=[conv_spec, conv_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1), jnp.float32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((w, tb, n), jnp.bfloat16),
             pltpu.VMEM((tb, n), jnp.float32),
             pltpu.VMEM((tb, n), jnp.float32),
-            pltpu.VMEM((tb, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )(e[:, :n], e[:, n:])
-    return ok[:, 0] > 0.5
+    return ok[:, 0] > 0.5, conv[:, 0] > 0.5

@@ -146,6 +146,8 @@ class QarySpecialDecoder:
             raise ValueError(f"BSUM ({bsum}) must equal SW ({sw}) * B ({b})")
         if np.bincount(rows[is_sum], minlength=r).max() != 1 or is_sum.sum() != r:
             raise ValueError("each row must contain exactly one sum-variable entry")
+        if np.bincount(cols[is_sum] - n_b, minlength=r).max() != 1:
+            raise ValueError("each sum variable must appear in exactly one row")
 
         bvar_idx = np.full((r, sw), n_b, np.int32)
         bvar_sign = np.ones((r, sw), np.int8)

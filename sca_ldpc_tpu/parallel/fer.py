@@ -47,8 +47,8 @@ def make_sharded_fer_step(layout, channel_probs, mesh, max_iter=50, method="prod
             e = jax.random.bernoulli(key[0], probs[None, :], (batch_local, 2 * n)).astype(
                 jnp.int8
             )
-            ok = circulant_fer_pallas(e, shifts, err, max_iter, tb=8, method=method)
-            return ok, ok
+            ok, conv = circulant_fer_pallas(e, shifts, err, max_iter, tb=8, method=method)
+            return ok, conv
 
         def step(key, batch):
             assert batch % (8 * n_dev) == 0, "batch must be divisible by 8 * n_devices"
@@ -72,8 +72,7 @@ def make_sharded_fer_step(layout, channel_probs, mesh, max_iter=50, method="prod
         prior = jnp.log((1.0 - jnp.clip(probs, 1e-30, 1 - 1e-12)) / jnp.clip(probs, 1e-30, 1 - 1e-12))
 
         def step(key, batch):
-            keys = jax.random.split(key, 2)
-            errors = jax.random.bernoulli(keys[0], probs[None, :], (batch, n_vars)).astype(jnp.int32)
+            errors = jax.random.bernoulli(key, probs[None, :], (batch, n_vars)).astype(jnp.int32)
             errors = jax.lax.with_sharding_constraint(errors, batch_sharding)
             e_c, e_i = errors[:, :n], errors[:, n:]
             syn = sum(jnp.roll(e_c, k, axis=-1) for k in shifts)

@@ -36,7 +36,7 @@ def main():
     @jax.jit
     def step(key):
         e = jax.random.bernoulli(key, probs[None, :], (args.batch, 2 * n)).astype(jnp.int8)
-        return jnp.sum(circulant_fer_pallas(e, lay.shifts, args.error_rate, 30))
+        return jnp.sum(circulant_fer_pallas(e, lay.shifts, args.error_rate, 30)[0])
 
     # compile outside the trace
     out = step(jax.random.PRNGKey(0))
