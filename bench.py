@@ -4,7 +4,7 @@ code at matched FER (BASELINE.md).
 
 Workload: syndrome BP decode of the HQC-128 attack code
 [circulant(N=17669, weight=20) | I_N] (35,338 columns), product-sum, up to 30
-iterations with per-frame early termination, error rate 0.002 — the hot loop
+iterations with per-frame early termination, error rate 0.01 — the hot loop
 of both the FER simulations (decode.py:130-177) and the attack's periodic
 decode (hqc.py:661-759).
 
@@ -53,6 +53,7 @@ def cpu_reference_decode(lay, prior_llr, syndrome, max_iter=30):
 
     e_c = (pc < 0).astype(int)
     e_i = (pi < 0).astype(int)
+    it = -1
     for it in range(max_iter):
         planes = np.concatenate([v2c, pi[None, :]], axis=0)  # [w+1, n]
         sgn = np.where(planes >= 0, 1.0, -1.0)
@@ -177,11 +178,12 @@ def bench_kyber_decoder(batch=32, iters=10, reps=3):
     ch_b[:, :, 2] = 0.92
     ch_s = np.zeros((batch, r, 25), np.float32)
     ch_s[:, :, 12] = 1.0
-    out = dec.min_sum(jax.device_put(ch_b), jax.device_put(ch_s))
+    ch_b_d, ch_s_d = jax.device_put(ch_b), jax.device_put(ch_s)
+    out = dec.min_sum(ch_b_d, ch_s_d)
     jax.block_until_ready(out)
     t0 = time.time()
     for _ in range(reps):
-        out = dec.min_sum(ch_b, ch_s)
+        out = dec.min_sum(ch_b_d, ch_s_d)
     jax.block_until_ready(out)
     dt = (time.time() - t0) / reps
     ok = bool((np.asarray(out)[:, :n_b] == 0).all())

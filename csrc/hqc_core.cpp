@@ -919,8 +919,10 @@ int hqc_decode_oracle(int ver, const uint8_t* ct, const uint8_t* sk,
     __get_cpuid(0, &eax, &ebx, &ecx, &edx);  // serialize
     uint64_t start = __rdtscp(&aux_start);
     hqc_decaps(ver, ct, sk, ss);
-    __get_cpuid(0, &eax, &ebx, &ecx, &edx);
+    // rdtscp waits for prior instructions; CPUID serializes AFTER the read
+    // so its variable latency stays outside the measured window
     uint64_t stop = __rdtscp(&aux_stop);
+    __get_cpuid(0, &eax, &ebx, &ecx, &edx);
     if (aux_start == aux_stop) out[kept++] = stop - start;
 #else
     struct timespec t0, t1;

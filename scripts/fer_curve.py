@@ -48,6 +48,10 @@ def main():
                 method="product_sum", backend=args.backend,
             )
             batch = max(8, (args.runs // 8) * 8)
+            _warm = step(jax.random.PRNGKey(0), batch)  # exclude compile from timing
+            import jax as _jax
+
+            _jax.block_until_ready(_warm)
             t0 = time.time()
             ok, _conv, _ = step(jax.random.PRNGKey(int(rate * 1e6)), batch)
             tpu_fer = 1.0 - int(ok) / batch

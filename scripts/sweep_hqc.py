@@ -23,6 +23,7 @@ import logging
 import os
 import sys
 import time
+import zlib
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -62,7 +63,17 @@ def main():
         if os.path.exists(marker):
             logger.info(f"[{i+1}/{len(configs)}] {label} w={weight}: done, skipping")
             continue
-        seed = args.seed_base + hash((label, weight)) % (2**31)
+        if os.path.exists(args.csv):
+            # a crash between CSV append and marker write leaves partial rows;
+            # drop them before re-running the config
+            import pandas as pd
+
+            df0 = pd.read_csv(args.csv)
+            mask = (df0["label"].astype(str) == str(label)) & (df0["weight"] == weight)
+            if mask.any():
+                logger.warning(f"dropping {mask.sum()} stale rows for {label} w={weight}")
+                df0[~mask].to_csv(args.csv, index=False)
+        seed = args.seed_base + zlib.crc32(f"{label}-{weight}".encode()) % (2**31)
         t0 = time.time()
         ok, tracking = simulate_hqc_idealized_oracle(
             make_random_state(seed),
