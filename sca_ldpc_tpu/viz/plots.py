@@ -97,6 +97,41 @@ def load_data(csv_file) -> pd.DataFrame:
     return df
 
 
+EPSILON_LABELS = {
+    # oracle-accuracy -> display label (the reference maps to LaTeX macros,
+    # visualize.py:142-149; plain-text here, LaTeX only under use_pgf)
+    "0.89478": "O_HQC^0.9",
+    "0.9444899999999999": "O_HQC^0.95",
+    "0.9892289999999999": "O_HQC^0.995",
+    "0.9942": "O_HQC^ideal",
+    "1.0": "O_HQC^1.0",
+    "miss-use": "O_HQC^1.0",
+}
+
+
+def hqc_csv_rename_human_readable(df):
+    """Category renames for plot axes (visualize.py:122-169)."""
+    df = df.copy()
+    df["stride_type"] = df["stride_type"].cat.rename_categories(
+        {
+            "checks": "parity checks",
+            "oracle_calls": "oracle calls",
+            "unsatisfied": "unsatisfied parity checks",
+        }
+    )
+    df["count_type"] = df["count_type"].cat.rename_categories(
+        {
+            "good_flips": "correct bit-flips",
+            "bad_flips": "incorrect bit-flips",
+            "remaining-flips": "remaining bit-flips",
+            "found_bad_checks": "detected bad parity checks",
+        }
+    )
+    mapped = df["epsilon0"].astype(str).map(lambda v: EPSILON_LABELS.get(v, v))
+    df["epsilon0"] = mapped.astype("category")
+    return df
+
+
 def _success_filter(df, stride_type):
     w = "weight % 10 == 0" if GRID_WEIGHTS else "weight == weight"
     return df.query(
