@@ -44,7 +44,17 @@ def main():
     ap.add_argument("--oracle-backend", default="fast", choices=["fast", "native"])
     ap.add_argument("--state-dir", default=None,
                     help="resume-marker directory (default: <csv>.state)")
+    ap.add_argument("--platform", default="cpu", choices=["cpu", "default"],
+                    help="JAX platform for the decode batches.  The attack's "
+                         "decodes are small and latency-sensitive; 'cpu' "
+                         "(default) avoids per-dispatch accelerator latency. "
+                         "'default' keeps the session's platform.")
     args = ap.parse_args()
+
+    if args.platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(message)s")
     logging.getLogger("sca_ldpc_tpu").setLevel(logging.WARNING)
