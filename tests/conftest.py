@@ -10,6 +10,16 @@ backend initialization keeps the whole test suite off the TPU.
 """
 
 import os
+import sys
+from pathlib import Path
+
+# Make the repo root (bench.py, __graft_entry__.py) and tests/ (shared
+# helpers like qary_reference) importable regardless of invocation mode/cwd.
+_ROOT = Path(__file__).resolve().parent.parent
+for _p in (str(_ROOT), str(_ROOT / "tests")):
+    if _p not in sys.path:
+        sys.path.insert(0, _p)
+
 
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:

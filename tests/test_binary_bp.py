@@ -7,24 +7,20 @@ recovered exactly, FER on the reference's doctest configuration must match
 code), and received-vector mode must reproduce codewords.
 """
 
+from pathlib import Path
+
 import numpy as np
 import pytest
+
+FIXTURES = Path(__file__).resolve().parent.parent / "fixtures"
 
 from sca_ldpc_tpu.channels import ErrorsProvider
 from sca_ldpc_tpu.codes import CirculantLayout, make_regular_ldpc_parity_check_matrix
 from sca_ldpc_tpu.codes.make_code import random_circulant_first_row
 from sca_ldpc_tpu.ops import BinaryBPDecoder, CirculantBPDecoder
+from sca_ldpc_tpu.codes.util import rep_code
 from sca_ldpc_tpu.sim import simulate_frame_error_rate
 from sca_ldpc_tpu.utils import make_random_state
-
-
-def rep_code(n):
-    """Repetition-code parity-check matrix (ldpc.codes.rep_code equivalent)."""
-    H = np.zeros((n - 1, n), dtype=int)
-    for i in range(n - 1):
-        H[i, i] = 1
-        H[i, i + 1] = 1
-    return H
 
 
 @pytest.mark.parametrize("method", ["product_sum", "min_sum"])
@@ -69,7 +65,7 @@ def test_fer_simulation_rep_code():
 
 def test_fer_simulation_with_binary_file():
     rng = make_random_state(0)
-    ep = ErrorsProvider(None, "fixtures/binary_distr.txt", rng)
+    ep = ErrorsProvider(None, str(FIXTURES / "binary_distr.txt"), rng)
     H = rep_code(13)
     successes = simulate_frame_error_rate(H, ep, 50, rng)
     # high per-position error rates (up to 0.3) on a rep code: most frames

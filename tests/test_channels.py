@@ -6,8 +6,12 @@ import pytest
 from sca_ldpc_tpu.channels import ErrorsProvider
 from sca_ldpc_tpu.utils import make_random_state
 
-BINARY_FILE = "fixtures/binary_distr.txt"
-QARY_FILE = "fixtures/qary_distr.txt"
+from pathlib import Path
+
+FIXTURES = Path(__file__).resolve().parent.parent / "fixtures"
+
+BINARY_FILE = str(FIXTURES / "binary_distr.txt")
+QARY_FILE = str(FIXTURES / "qary_distr.txt")
 
 
 def test_uniform_rate_host():

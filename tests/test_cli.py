@@ -44,8 +44,12 @@ def test_regular_ldpc_code():
     assert "Success ratio" in r.stderr + r.stdout
 
 
-def test_view_hqc_oracle_accuracy(tmp_path):
-    r = run_cli("view_hqc_oracle_accuracy")
-    assert r.returncode == 0
-    assert os.path.exists(os.path.join(REPO, "OracleAccuracy.png"))
-    os.remove(os.path.join(REPO, "OracleAccuracy.png"))
+def test_view_hqc_oracle_accuracy():
+    png = os.path.join(REPO, "OracleAccuracy.png")
+    try:
+        r = run_cli("view_hqc_oracle_accuracy")
+        assert r.returncode == 0
+        assert os.path.exists(png)
+    finally:
+        if os.path.exists(png):
+            os.remove(png)

@@ -64,7 +64,8 @@ def test_multi_plaintext_decode():
         y_times_r1 = sparse_times_sparse(
             sorted(y_sparse), [int(i) for i in shifts], params.N
         )
-        # half the positions from each circulant
+        # the same even row indices from each of two circulants: the rows
+        # have distinct supports, so the decoder must keep them apart
         for bit_n in range(0, params.N, 2):
             add_check(
                 decoder, shifts, checks, y_times_r1, bit_n,

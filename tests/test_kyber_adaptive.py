@@ -37,9 +37,6 @@ def test_own_codeword_max_likelihood(setup):
 
 def test_adaptive_posterior_normalizes(setup):
     pattern, tree, prior = setup
-    def range3(sw):
-        return range(-3 * sw, 3 * sw + 1)
-
     for s in [-3, 0, 2]:
         y = pattern[s + 3]
         post = s_distribution_from_hard_y_adaptive(

@@ -80,10 +80,6 @@ def test_sharded_matches_unsharded(devices):
 
 
 def test_dryrun_multichip_entry():
-    import sys
-    from pathlib import Path
-
-    sys.path.insert(0, str(Path(__file__).parent.parent))
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)

@@ -97,10 +97,6 @@ def test_qary_matches_enumeration_reference():
     """Conformance against a direct Python model of the Rust enumeration
     semantics (decoder.rs:560-666): exact agreement on 1-iteration messages
     and on full decodes of non-marginal (single-error) frames."""
-    import sys
-    from pathlib import Path
-
-    sys.path.insert(0, str(Path(__file__).parent))
     from qary_reference import ref_min_sum
 
     rng = make_random_state(3)
