@@ -125,6 +125,27 @@ def flip_single_bit(ct, block, bit, N, N2):
     return toggle_bits_in_v(ct, [block * N2 + bit], N)
 
 
+def bytes_compare(array, compare_to, delimit=False, pad=True):
+    """Hex-diff of two byte strings: differing bytes shown, equal ones padded
+    (oracle-debugging helper, reference: hqc.py:766-779).
+
+    >>> bytes_compare(b"\x01\x02\x03", b"\x01\x07\x03")
+    '__02__'
+    """
+    out = ""
+    for i in range(len(array)):
+        if delimit and i % delimit == 0 and pad:
+            out += "|"
+        if array[i] == compare_to[i]:
+            if pad:
+                out += "__"
+        else:
+            out += f"{array[i]:02x}"
+    if delimit:
+        out += "|"
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Keys and plaintexts (reference: hqc.py:74-124)
 # ---------------------------------------------------------------------------
