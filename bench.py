@@ -135,13 +135,21 @@ def bench_tpu(lay, probs, batch=1024, steps=20, max_iter=30,
     return steps * batch / dt, int(out) / (steps * batch)
 
 
-def bench_qary_medium(batch=64, iters=10, reps=3):
+def bench_qary_medium(batch=256, iters=10, steps=10):
     """Criterion 'medium decoder' equivalent (benches/decoder.rs:66-92):
-    N=450 R=150 DV=3 DC=7 B=7 Q=15, 10 iterations — batched."""
-    import jax
+    N=450 R=150 DV=3 DC=7 B=7 Q=15, 10 iterations — batched, measured as
+    `steps` decodes of the batch inside ONE jitted fori_loop dispatch (the
+    same per-dispatch-latency-free methodology as bench_tpu)."""
+    from functools import partial
 
+    import jax
+    import jax.numpy as jnp
+
+    from sca_ldpc_tpu.channels.llr import probs_to_llr
     from sca_ldpc_tpu.codes import make_regular_ldpc_parity_check_matrix_identity
     from sca_ldpc_tpu.ops import QaryDecoder
+    from sca_ldpc_tpu.ops import minplus
+    from sca_ldpc_tpu.ops.qary import _qary_min_sum
     from sca_ldpc_tpu.utils import make_random_state
 
     rng = make_random_state(1)
@@ -152,24 +160,40 @@ def bench_qary_medium(batch=64, iters=10, reps=3):
     channel[:, :, 7] = 1.0
     channel[:, 1, 7] = 0.1
     channel[:, 1, 14] = 0.9
-    ch = jax.device_put(channel)
-    out = dec.min_sum(ch)
+    llr = jax.device_put(
+        np.asarray(minplus.clip_inf(probs_to_llr(jnp.asarray(channel))))
+    )
+
+    @partial(jax.jit, static_argnames=("steps",))
+    def loop(llr, steps):
+        def body(i, acc):
+            x = llr.at[:, 0, 0].add(1e-6 * i)  # defeat loop-invariant hoisting
+            hard = _qary_min_sum(*dec._args, x, iters, dec.b, dec.layout.dc)
+            return acc + jnp.sum(jnp.abs(hard))
+        return jax.lax.fori_loop(0, steps, body, jnp.int32(0))
+
+    out = loop(llr, steps)
     jax.block_until_ready(out)
     t0 = time.time()
-    for _ in range(reps):
-        out = dec.min_sum(ch)
+    out = loop(llr, steps)
     jax.block_until_ready(out)
-    dt = (time.time() - t0) / reps
-    ok = bool((np.asarray(out) == 0).all())
-    return batch / dt, ok
+    dt = time.time() - t0
+    ok = int(out) == 0  # all-zero codeword recovered in every step
+    return steps * batch / dt, ok
 
 
-def bench_kyber_decoder(batch=32, iters=10, reps=3):
+def bench_kyber_decoder(batch=256, iters=10, steps=10):
     """Kyber-768 production decoder (DecoderN1280R512SW6 equivalent,
-    lib.rs:65-75) — batched two-alphabet min-sum."""
-    import jax
+    lib.rs:65-75) — batched two-alphabet min-sum, in-dispatch loop timing."""
+    from functools import partial
 
+    import jax
+    import jax.numpy as jnp
+
+    from sca_ldpc_tpu.channels.llr import probs_to_llr
     from sca_ldpc_tpu.models.kyber import gen_ldpc_matrix, get_decoder
+    from sca_ldpc_tpu.ops import minplus
+    from sca_ldpc_tpu.ops.qary_special import _special_min_sum
 
     H = gen_ldpc_matrix(6, 0, check_blocks=2)
     dec = get_decoder(6, H, 2, iterations=iters)
@@ -178,16 +202,28 @@ def bench_kyber_decoder(batch=32, iters=10, reps=3):
     ch_b[:, :, 2] = 0.92
     ch_s = np.zeros((batch, r, 25), np.float32)
     ch_s[:, :, 12] = 1.0
-    ch_b_d, ch_s_d = jax.device_put(ch_b), jax.device_put(ch_s)
-    out = dec.min_sum(ch_b_d, ch_s_d)
+    llr_b = jnp.asarray(minplus.clip_inf(probs_to_llr(jnp.asarray(ch_b))))
+    llr_s = jnp.asarray(minplus.clip_inf(probs_to_llr(jnp.asarray(ch_s))))
+    llr_s_row = jnp.take(llr_s, jnp.asarray(dec._sum_var), axis=1)
+
+    @partial(jax.jit, static_argnames=("steps",))
+    def loop(llr_b, llr_s_row, steps):
+        def body(i, acc):
+            x = llr_b.at[:, 0, 0].add(1e-6 * i)
+            hard = _special_min_sum(
+                *dec._args, x, llr_s_row, dec.max_iter, dec.b, dec.bsum, dec.sw
+            )
+            return acc + jnp.sum(jnp.abs(hard))
+        return jax.lax.fori_loop(0, steps, body, jnp.int32(0))
+
+    out = loop(llr_b, llr_s_row, steps)
     jax.block_until_ready(out)
     t0 = time.time()
-    for _ in range(reps):
-        out = dec.min_sum(ch_b_d, ch_s_d)
+    out = loop(llr_b, llr_s_row, steps)
     jax.block_until_ready(out)
-    dt = (time.time() - t0) / reps
-    ok = bool((np.asarray(out)[:, :n_b] == 0).all())
-    return batch / dt, ok
+    dt = time.time() - t0
+    ok = int(out) == 0
+    return steps * batch / dt, ok
 
 
 def main():

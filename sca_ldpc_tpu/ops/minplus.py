@@ -14,6 +14,11 @@ which costs ``O(DC * W * Q)`` per check with the prefix/suffix trick, fully
 vectorized over checks and frames.  Infinite LLRs are carried as a large
 finite constant so min-plus arithmetic never produces NaNs (Rust f32 inf-inf
 would; the reference sidesteps it by skipping infinite entries).
+
+Supports are tracked tightly: every intermediate is stored at (and computed
+over) exactly the symbol window that can influence the final ``s_out``-wide
+extrinsic outputs — the decoder only consumes ``|d| <= B`` — which cuts the
+op count by ~4x vs computing the full ±(DC-1)·B window everywhere.
 """
 
 import jax.numpy as jnp
@@ -38,73 +43,94 @@ def identity(width, like=None, dtype=jnp.float32):
     return v
 
 
-def conv(a, b, s_out, a_half_support=None):
+def conv(a, b, s_out, a_half_support=None, b_half_support=None):
     """Centered min-plus convolution.
 
     ``a``: [..., 2*Sa+1] supported on symbols [-Sa..Sa]; ``b``: [..., 2*Sb+1];
     output: [..., 2*s_out+1] with ``out[k] = min_i a[i] + b[(k - s_out) - (i - Sa) + Sb]``
     (terms whose b-index falls outside b's support contribute BIG).
 
-    The loop runs over ``a``'s width, so pass the narrower operand first.
-    ``a_half_support`` restricts the loop to symbols [-h..h] of ``a`` when the
-    caller knows the rest is BIG (prefix/suffix chains have growing support).
+    ``a_half_support`` / ``b_half_support`` declare that symbols outside
+    [-h..h] of that operand are BIG; the unrolled loop runs over whichever
+    operand has the narrower declared window (min-plus conv commutes).
     """
-    wa = a.shape[-1]
-    wb = b.shape[-1]
-    sa, sb = (wa - 1) // 2, (wb - 1) // 2
+    sa = (a.shape[-1] - 1) // 2
+    sb = (b.shape[-1] - 1) // 2
+    ha = sa if a_half_support is None else min(int(a_half_support), sa)
+    hb = sb if b_half_support is None else min(int(b_half_support), sb)
+    if hb < ha:
+        a, b = b, a
+        sa, sb = sb, sa
+        ha, hb = hb, ha
+
     w_out = 2 * s_out + 1
     off = sa + sb - s_out
     pad = max(0, sa + s_out - sb)
     b_pad = jnp.pad(b, [(0, 0)] * (b.ndim - 1) + [(pad, pad)], constant_values=BIG)
 
-    if a_half_support is None:
-        lo, hi = 0, wa
-    else:
-        h = min(int(a_half_support), sa)
-        lo, hi = sa - h, sa + h + 1
     out = None
-    for i in range(lo, hi):
+    for i in range(sa - ha, sa + ha + 1):
         start = off - i + pad
         term = a[..., i : i + 1] + b_pad[..., start : start + w_out]
         out = term if out is None else jnp.minimum(out, term)
     return jnp.minimum(out, BIG)
 
 
-def chain_exclusive(alphas, s_mid, extra=None):
+def chain_exclusive(alphas, s_mid, extra=None, s_out=None):
     """For a stack of operands along an axis, the min-plus conv of all-but-one.
 
     ``alphas``: [..., D, Q] (D operands of width Q each).  Returns
-    ``ext``: [..., D, 2*s_mid+1] where ``ext[..., j, :]`` is the conv of all
-    operands except j (optionally also convolved with ``extra`` [..., We]).
-    ``s_mid`` must cover the support of any (D-1)-operand partial conv
+    ``ext``: [..., D, 2*s_out+1] where ``ext[..., j, :]`` is the conv of all
+    operands except j (optionally also convolved with ``extra`` [..., We]),
+    restricted to output symbols [-s_out..s_out].  ``s_out`` defaults to
+    ``s_mid``, which must cover the support of any (D-1)-operand partial conv
     (plus extra's support if given).
 
-    Prefix/suffix partial convs have support +-(count * B): the exclusive
-    combine loops only that window instead of the full padded width.
+    Prefix/suffix partial convs are stored at their tight support: the conv
+    of ``c`` operands naturally lives on ±(c·B), and nothing beyond
+    ±(s_out + We + (D-1-c)·B) can reach an in-window output symbol.
     """
     d = alphas.shape[-2]
-    q = alphas.shape[-1]
-    b_sup = (q - 1) // 2
-    w_mid = 2 * s_mid + 1
+    b_sup = (alphas.shape[-1] - 1) // 2
+    if s_out is None:
+        s_out = s_mid
+    se = 0 if extra is None else (extra.shape[-1] - 1) // 2
+    s_pre = s_out + se  # combine-stage output support (before extra)
 
-    prefix = [identity(w_mid, like=alphas[..., 0, :])]
+    def cap(count):
+        """Stored support of a partial conv of ``count`` operands."""
+        return min(count * b_sup, s_pre + (d - 1 - count) * b_sup, s_mid)
+
+    prefix = [identity(1, like=alphas[..., 0, :])]  # support 0
     for j in range(d - 1):
-        prefix.append(conv(alphas[..., j, :], prefix[-1], s_mid))
-    suffix = [identity(w_mid, like=alphas[..., 0, :])]
+        prefix.append(
+            conv(alphas[..., j, :], prefix[-1], cap(j + 1), b_half_support=j * b_sup)
+        )
+    suffix = [identity(1, like=alphas[..., 0, :])]
     for j in range(d - 1, 0, -1):
-        suffix.append(conv(alphas[..., j, :], suffix[-1], s_mid))
+        count = d - j
+        suffix.append(
+            conv(alphas[..., j, :], suffix[-1], cap(count),
+                 b_half_support=(count - 1) * b_sup)
+        )
     suffix = suffix[::-1]
 
     outs = []
     for j in range(d):
-        # prefix[j] combines j operands -> support +-(j * b_sup)
-        e = conv_pair(prefix[j], suffix[j], s_mid, a_half_support=j * b_sup)
+        # prefix[j] combines j operands, suffix[j] combines d-1-j.
+        e = conv(
+            prefix[j],
+            suffix[j],
+            s_pre,
+            a_half_support=j * b_sup,
+            b_half_support=(d - 1 - j) * b_sup,
+        )
         if extra is not None:
-            e = conv(extra, e, s_mid) if extra.shape[-1] <= w_mid else conv(e, extra, s_mid)
+            e = conv(extra, e, s_out, a_half_support=se, b_half_support=s_pre)
         outs.append(e)
     return jnp.stack(outs, axis=-2)
 
 
 def conv_pair(a, b, s_out, a_half_support=None):
-    """Min-plus conv of two same-width operands (loops over the first)."""
+    """Min-plus conv of two same-width operands."""
     return conv(a, b, s_out, a_half_support=a_half_support)

@@ -66,12 +66,11 @@ def _qary_min_sum(
 
     def body(_, state):
         v2c, _total = state
-        # --- check update: exact min over zero-sum configs via min-plus convs.
-        ext = minplus.chain_exclusive(v2c, s_mid)  # [Bt, R, DC, 2*s_mid+1]
-        # beta_j[d] = ext_j[-d]: reverse the symbol axis, slice center +-B.
-        ext_rev = ext[..., ::-1]
-        c2v = ext_rev[..., s_mid - b_range : s_mid + b_range + 1]
-        c2v = jnp.minimum(c2v, BIG)
+        # --- check update: exact min over zero-sum configs via min-plus convs,
+        # computed only on the consumed +-B output window.
+        ext = minplus.chain_exclusive(v2c, s_mid, s_out=b_range)  # [Bt, R, DC, Q]
+        # beta_j[d] = ext_j[-d]: reverse the symbol axis.
+        c2v = jnp.minimum(ext[..., ::-1], BIG)
 
         # --- variable update (sum, extrinsic, arg-min normalization).
         c2v_flat = jnp.concatenate(

@@ -70,10 +70,8 @@ def _special_min_sum(
     def body(_, state):
         v2c, _tb, _ts = state
         # --- check update.
-        ext_b = minplus.chain_exclusive(v2c, s_mid, extra=v2c_sum)
-        c2v_b = jnp.minimum(
-            ext_b[..., ::-1][..., s_mid - b : s_mid + b + 1], BIG
-        )  # [Bt, R, SW, BSIZE]
+        ext_b = minplus.chain_exclusive(v2c, s_mid, extra=v2c_sum, s_out=b)
+        c2v_b = jnp.minimum(ext_b[..., ::-1], BIG)  # [Bt, R, SW, BSIZE]
 
         # Full conv of all SW B-messages has support exactly +-BSUM.
         full = minplus.identity(bsumsize, like=v2c[..., 0, :])
