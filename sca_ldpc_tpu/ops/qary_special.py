@@ -28,7 +28,7 @@ from .minplus import BIG
 from .qary import _signed
 
 
-@partial(jax.jit, static_argnames=("max_iter", "b", "bsum", "sw"))
+@partial(jax.jit, static_argnames=("max_iter", "b", "bsum", "sw", "backend"))
 def _special_min_sum(
     bvar_idx,  # [R, SW] int32, pad == n_b
     bvar_sign,  # [R, SW] int8
@@ -44,6 +44,7 @@ def _special_min_sum(
     b: int,
     bsum: int,
     sw: int,
+    backend: str = "xla",  # check-update backend: "xla" | "pallas"
 ):
     bt, n_b, bsize = channel.shape
     r = bvar_idx.shape[0]
@@ -70,7 +71,12 @@ def _special_min_sum(
     def body(_, state):
         v2c, _tb, _ts = state
         # --- check update.
-        ext_b = minplus.chain_exclusive(v2c, s_mid, extra=v2c_sum, s_out=b)
+        if backend == "pallas":
+            from .kernels.qary_pallas import chain_exclusive_pallas
+
+            ext_b = chain_exclusive_pallas(v2c, s_mid, b, extra=v2c_sum)
+        else:
+            ext_b = minplus.chain_exclusive(v2c, s_mid, extra=v2c_sum, s_out=b)
         c2v_b = jnp.minimum(ext_b[..., ::-1], BIG)  # [Bt, R, SW, BSIZE]
 
         # Full conv of all SW B-messages has support exactly +-BSUM.
@@ -126,13 +132,15 @@ class QarySpecialDecoder:
     ``QarySpecialDecoder(H, B, BSUM, iterations)``.
     """
 
-    def __init__(self, H, b: int, bsum: int, max_iter: int, sw=None):
+    def __init__(self, H, b: int, bsum: int, max_iter: int, sw=None,
+                 backend="xla"):
         H = np.asarray(H)
         r, n = H.shape
         n_b = n - r
         if bsum % b != 0:
             raise ValueError(f"BSUM ({bsum}) must be a multiple of B ({b})")
         self.b, self.bsum, self.max_iter = int(b), int(bsum), int(max_iter)
+        self.backend = backend
         self.n, self.r, self.n_b = n, r, n_b
 
         rows, cols = np.nonzero(H)
@@ -205,6 +213,7 @@ class QarySpecialDecoder:
         # Order sum-variable channels by serving row.
         llr_s_row = jnp.take(llr_s, jnp.asarray(self._sum_var), axis=1)
         hard = _special_min_sum(
-            *self._args, llr_b, llr_s_row, self.max_iter, self.b, self.bsum, self.sw
+            *self._args, llr_b, llr_s_row, self.max_iter, self.b, self.bsum,
+            self.sw, backend=self.backend,
         )
         return hard[0] if squeeze else hard

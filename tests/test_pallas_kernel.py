@@ -43,3 +43,82 @@ def test_pallas_matches_xla(method):
     assert (np.asarray(e_pal) == err).all()
     assert np.asarray(conv_pal).all()
     assert (np.asarray(e_pal) == np.asarray(e_xla)).all()
+
+
+def test_qary_check_kernel_matches_minplus():
+    """chain_exclusive_pallas is bitwise-equal to minplus.chain_exclusive."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from sca_ldpc_tpu.ops import minplus
+    from sca_ldpc_tpu.ops.kernels.qary_pallas import chain_exclusive_pallas
+
+    rng = np.random.RandomState(0)
+    bt, r, dc, q = 16, 10, 7, 15
+    b = (q - 1) // 2
+    s_mid = (dc - 1) * b
+    v2c = (rng.rand(bt, r, dc, q) * 20).astype(np.float32)
+    v2c[rng.rand(*v2c.shape) < 0.1] = minplus.BIG  # pad-like BIG entries
+
+    ref = np.asarray(minplus.chain_exclusive(jnp.asarray(v2c), s_mid, s_out=b))
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(chain_exclusive_pallas(jnp.asarray(v2c), s_mid, b, tb=8))
+    assert (ref == out).all()
+
+    # two-alphabet variant (extra operand) + non-multiple-of-tb batch
+    sw, b2 = 6, 2
+    se = sw * b2
+    s_mid2 = (2 * sw - 1) * b2
+    v2c2 = (rng.rand(11, r, sw, 2 * b2 + 1) * 20).astype(np.float32)
+    extra = (rng.rand(11, r, 2 * se + 1) * 20).astype(np.float32)
+    ref2 = np.asarray(
+        minplus.chain_exclusive(
+            jnp.asarray(v2c2), s_mid2, extra=jnp.asarray(extra), s_out=b2
+        )
+    )
+    with pltpu.force_tpu_interpret_mode():
+        out2 = np.asarray(
+            chain_exclusive_pallas(
+                jnp.asarray(v2c2), s_mid2, b2, extra=jnp.asarray(extra), tb=8
+            )
+        )
+    assert (ref2 == out2).all()
+
+
+def test_qary_decoder_pallas_backend_matches_xla():
+    """Full q-ary decode with backend='pallas' equals backend='xla' bitwise."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from sca_ldpc_tpu.codes import make_qary_qc_parity_check_matrix
+    from sca_ldpc_tpu.ops import QaryDecoder
+    from sca_ldpc_tpu.utils import make_random_state
+
+    rng = make_random_state(3)
+    H = make_qary_qc_parity_check_matrix(30, 4, 2, rng)
+    b = 2
+    q = 2 * b + 1
+    probs = np.random.RandomState(7).dirichlet(np.ones(q), size=(5, H.shape[1]))
+    dec_x = QaryDecoder(H, b, max_iter=4, backend="xla")
+    dec_p = QaryDecoder(H, b, max_iter=4, backend="pallas")
+    hx = np.asarray(dec_x.min_sum(probs.astype(np.float32)))
+    with pltpu.force_tpu_interpret_mode():
+        hp = np.asarray(dec_p.min_sum(probs.astype(np.float32)))
+    assert (hx == hp).all()
+
+
+def test_qary_special_pallas_backend_matches_xla():
+    from jax.experimental.pallas import tpu as pltpu
+
+    from sca_ldpc_tpu.models.kyber import gen_ldpc_matrix
+    from sca_ldpc_tpu.ops import QarySpecialDecoder
+
+    H = gen_ldpc_matrix(6, 0, check_blocks=1)
+    rng = np.random.RandomState(11)
+    q, qs = 5, 25
+    ch_b = rng.dirichlet(np.ones(q), size=(3, 768)).astype(np.float32)
+    ch_s = rng.dirichlet(np.ones(qs), size=(3, 256)).astype(np.float32)
+    dx = QarySpecialDecoder(H, 2, 12, max_iter=3, backend="xla")
+    dp = QarySpecialDecoder(H, 2, 12, max_iter=3, backend="pallas")
+    hx = np.asarray(dx.min_sum(ch_b, ch_s))
+    with pltpu.force_tpu_interpret_mode():
+        hp = np.asarray(dp.min_sum(ch_b, ch_s))
+    assert (hx == hp).all()
