@@ -199,7 +199,7 @@ def bench_kyber_decoder(batch=256, iters=10, steps=10):
     from sca_ldpc_tpu.ops.qary_special import _special_min_sum
 
     H = gen_ldpc_matrix(6, 0, check_blocks=2)
-    dec = get_decoder(6, H, 2, iterations=iters)
+    dec = get_decoder(6, H, 2, iterations=iters, backend="pallas")
     n_b, r = 768, 512
     ch_b = np.full((batch, n_b, 5), 0.02, np.float32)
     ch_b[:, :, 2] = 0.92
@@ -214,7 +214,8 @@ def bench_kyber_decoder(batch=256, iters=10, steps=10):
         def body(i, acc):
             x = llr_b.at[:, 0, 0].add(1e-6 * i)
             hard = _special_min_sum(
-                *dec._args, x, llr_s_row, dec.max_iter, dec.b, dec.bsum, dec.sw
+                *dec._args, x, llr_s_row, dec.max_iter, dec.b, dec.bsum,
+                dec.sw, backend=dec.backend,
             )
             return acc + jnp.sum(jnp.abs(hard))
         return jax.lax.fori_loop(0, steps, body, jnp.int32(0))

@@ -44,7 +44,6 @@ def _qary_min_sum(
     bt, n, q = channel.shape
     r = chk_var.shape[0]
     s_mid = (dc - 1) * b_range  # support bound of any (DC-1)-operand conv
-    flat_size = r * dc + 1
 
     # Padded channel: pad slots get the min-plus identity (delta at symbol 0),
     # which is exactly the reference's treatment of missing/irregular slots.
@@ -90,18 +89,16 @@ def _qary_min_sum(
         c2v_var_u = jnp.where(var_mask[..., None], c2v_var_u, 0.0)
         total = channel + jnp.sum(c2v_var_u, axis=2)  # [Bt, N, Q]
 
-        prim = total[:, :, None, :] - c2v_var_u  # extrinsic, unsigned
-        prim = _signed(prim, sign_v)  # back to edge (signed) domain
+        # Extrinsic computed check-side: signed(total - c2v_u) ==
+        # signed(total) - c2v (reversal is a permutation), which replaces the
+        # flat scatter with a cheap gather — bitwise-identical messages.
+        total_pad = jnp.concatenate(
+            [total, jnp.broadcast_to(delta, (bt, 1, q))], axis=1
+        )
+        prim = _signed(gather_chk(total_pad), sign_c) - c2v
         prim = prim - jnp.min(prim, axis=-1, keepdims=True)
         prim = jnp.minimum(prim, BIG)
-
-        # --- scatter back to check-major.
-        flat = jnp.full((bt, flat_size, q), 0.0)
-        flat = flat.at[:, var_flat.reshape(-1), :].set(
-            prim.reshape(bt, -1, q), mode="drop"
-        )
-        v2c_new = flat[:, : r * dc, :].reshape(bt, r, dc, q)
-        v2c_new = jnp.where(mask_c[..., None], v2c_new, delta[None])
+        v2c_new = jnp.where(mask_c[..., None], prim, delta[None])
         return v2c_new, total
 
     # The reference takes its hard decision from the totals of the final

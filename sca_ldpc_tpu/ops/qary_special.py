@@ -50,7 +50,6 @@ def _special_min_sum(
     r = bvar_idx.shape[0]
     bsumsize = 2 * bsum + 1
     s_mid = (2 * sw - 1) * b  # support of (SW-1) B-vars conv'd with the sum var
-    flat_size = r * sw + 1
 
     delta = minplus.identity(bsize)[None, None, :]
     channel_pad = jnp.concatenate(
@@ -96,17 +95,18 @@ def _special_min_sum(
         c2v_var_u = jnp.where(var_mask[..., None], c2v_var_u, 0.0)
         total_b = channel + jnp.sum(c2v_var_u, axis=2)
 
-        prim = total_b[:, :, None, :] - c2v_var_u
-        prim = _signed(prim, sign_v)
+        # Extrinsic computed check-side (signed(total) - c2v_b replaces the
+        # flat scatter with a gather; bitwise-identical messages).
+        total_pad = jnp.concatenate(
+            [total_b, jnp.broadcast_to(delta, (bt, 1, bsize))], axis=1
+        )
+        gathered = jnp.take(total_pad, bvar_idx.reshape(-1), axis=1).reshape(
+            bt, r, sw, bsize
+        )
+        prim = _signed(gathered, sign_c) - c2v_b
         prim = prim - jnp.min(prim, axis=-1, keepdims=True)
         prim = jnp.minimum(prim, BIG)
-
-        flat = jnp.zeros((bt, flat_size, bsize))
-        flat = flat.at[:, var_flat.reshape(-1), :].set(
-            prim.reshape(bt, -1, bsize), mode="drop"
-        )
-        v2c_new = flat[:, : r * sw, :].reshape(bt, r, sw, bsize)
-        v2c_new = jnp.where(bvar_mask[..., None], v2c_new, delta[None])
+        v2c_new = jnp.where(bvar_mask[..., None], prim, delta[None])
 
         # --- sum-variable totals (no outgoing update needed).
         c2v_sum_u = _signed(c2v_sum, jnp.asarray(sum_sign, jnp.int32))
