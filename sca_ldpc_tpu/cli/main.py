@@ -57,6 +57,12 @@ class Commands(CommandsBase):
                             help="HQC oracle: 'fast' = incremental Walsh-spectrum updates "
                                  "(one decapsulation per plaintext, cross-checked), "
                                  "'native' = decapsulate per query like the reference")
+        parser.add_argument("--decode-backend", type=str, default="general",
+                            choices=["general", "circulant"],
+                            help="Attack decode: 'general' = checks-only [H|I] per size "
+                                 "bucket; 'circulant' = full circulant with measured-row "
+                                 "mask, one compile shape per plaintext (best on "
+                                 "directly-attached TPUs)")
         error_group = parser.add_mutually_exclusive_group(required=False)
         error_group.add_argument("--error-rate", type=float, default=0.00,
                                  help="Error rate of the simulated binary symmetric channel; "
@@ -74,6 +80,7 @@ class Commands(CommandsBase):
             rng, args.decode_every, args.code_weight, args.key_file,
             args.error_rate, args.param_set,
             oracle_backend=args.oracle_backend,
+            decode_backend=args.decode_backend,
         )
         df = tracking.decoder_stats_data_frame(label=args.label)
         logger.info(f"Stats: \n{df.to_string(index=False)}")

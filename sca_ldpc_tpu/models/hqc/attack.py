@@ -605,6 +605,85 @@ class CheckDecoder:
         return self.stats_from_decoded(tracking, decoded, checks, y_sparse)
 
 
+class MaskedCirculantCheckDecoder(CheckDecoder):
+    """Single-compile-shape attack decoder: decodes the FULL circulant of
+    every plaintext with a measured-row mask instead of rebuilding a
+    checks-only H per decode.
+
+    ``H = [[C_1];...;[C_P]] | I_{P*N}``: measured rows carry their check
+    value (syndrome) and certainty (identity prior); unmeasured rows are
+    inert (identity-prior LLR exactly 0).  Adding checks changes only array
+    values, so XLA compiles once per (N, number-of-plaintexts) instead of
+    once per check-count bucket — the decode path for directly-attached
+    TPUs, where recompiles dominate (hqc.py:661-759 semantics otherwise).
+    """
+
+    def __init__(self, params, max_iter=100, method="product_sum"):
+        super().__init__(params)
+        self.max_iter = int(max_iter)
+        self.method = method
+        self._blocks = {}  # shifts tuple -> block index
+        self._block_shifts = []  # block index -> shifts tuple
+        self._rows = []  # per check: (block index, bit_n)
+
+    def add_row(self, shifts, bit_n):
+        super().add_row(shifts, bit_n)  # keep supports for executor fallback
+        key = tuple(int(k) for k in np.asarray(shifts))
+        if key not in self._blocks:
+            if self._block_shifts:
+                assert len(key) == len(self._block_shifts[0]), "mixed weights"
+            self._blocks[key] = len(self._block_shifts)
+            self._block_shifts.append(key)
+        self._rows.append((self._blocks[key], int(bit_n)))
+
+    def decode(self, tracking, checks, y_sparse, executor=None):
+        if executor is not None:  # cross-instance batching: general path
+            return executor.decode(self, tracking, checks, y_sparse)
+        import jax.numpy as jnp
+
+        from ...ops.circulant_bp import _multi_circulant_bp
+
+        params = self.params
+        N = params.N
+        R = len(checks)
+        assert R == len(self._rows)
+        P = len(self._block_shifts)
+
+        syn = np.zeros((P, N), np.int32)
+        prior_i = np.zeros((P, N), np.float32)  # LLR 0 == inert row
+        seen = set()
+        for (blk, bit), (c, certainty) in zip(self._rows, checks):
+            assert (blk, bit) not in seen, "duplicate measured row"
+            seen.add((blk, bit))
+            syn[blk, bit] = int(c)
+            p_err = min(max(1.0 - certainty, 1e-9), 1.0 - 1e-9)
+            prior_i[blk, bit] = np.log((1.0 - p_err) / p_err)
+
+        prob_one = min(max(len(y_sparse) / N, 1e-9), 1.0 - 1e-9)
+        prior_c = np.full((1, N), np.log((1.0 - prob_one) / prob_one), np.float32)
+
+        logger.info(
+            f"Attempting masked-circulant decode with {R} checks over "
+            f"{P} plaintext block(s)."
+        )
+        e_c, e_i, _conv, _it = _multi_circulant_bp(
+            jnp.asarray(prior_c),
+            jnp.asarray(prior_i[None]),
+            jnp.asarray(syn[None]),
+            tuple(self._block_shifts),
+            self.max_iter,
+            self.method,
+        )
+        e_c, e_i = np.asarray(e_c[0]), np.asarray(e_i[0])
+
+        # Reassemble the [y | per-check indicator] vector stats expect.
+        decoded = np.zeros(N + R, np.int32)
+        decoded[:N] = e_c
+        for i, (blk, bit) in enumerate(self._rows):
+            decoded[N + i] = e_i[blk, bit]
+        return self.stats_from_decoded(tracking, decoded, checks, y_sparse)
+
+
 def add_check(decoder, shifts, checks, y_times_r1, bit_n, check, certainty):
     """Record one measured parity check; warn on cheating-validated errors
     (hqc.py:885-908)."""
@@ -695,6 +774,7 @@ def simulate_hqc_idealized_oracle(
     crosscheck_every=1000,
     decode_executor=None,
     keypair=None,
+    decode_backend="general",
 ):
     """Full idealized-oracle key-recovery attack.  Returns (success, tracking).
 
@@ -705,7 +785,12 @@ def simulate_hqc_idealized_oracle(
     ``max_oracle_calls`` bounds the run (None = run to recovery).
     ``decode_executor`` lets an orchestrator batch decode calls across
     independent attack instances (see batched.py).  ``keypair`` supplies a
-    pre-generated (pub, priv) pair, overriding ``keyfile``."""
+    pre-generated (pub, priv) pair, overriding ``keyfile``.
+    ``decode_backend``: "general" builds a checks-only [H|I] per size bucket
+    (reference semantics); "circulant" decodes the full circulant with a
+    measured-row mask — one compile shape per plaintext count
+    (MaskedCirculantCheckDecoder), the right choice on directly-attached
+    TPUs."""
     rng = make_random_state(rng)
     params = make_params(param_set, decode_every, weight, error_rate)
     logger.info(f"Params {params}")
@@ -717,7 +802,12 @@ def simulate_hqc_idealized_oracle(
     logger.info(f"y weight: {len(y_sparse)}, y bits: {y_sparse}")
 
     checks = []  # (value, certainty) per check; supports live in the decoder
-    decoder = CheckDecoder(params)
+    if decode_backend == "circulant":
+        decoder = MaskedCirculantCheckDecoder(params)
+    elif decode_backend == "general":
+        decoder = CheckDecoder(params)
+    else:
+        raise ValueError(f"unknown decode_backend: {decode_backend}")
 
     while True:
         pt = search_distinguishable_plaintext(params.HQC, rng)

@@ -122,6 +122,94 @@ def _circulant_bp(
     return e.astype(jnp.int32), conv, it
 
 
+@partial(jax.jit, static_argnames=("shifts_blocks", "max_iter", "method"))
+def _multi_circulant_bp(
+    prior_c,  # [B, N] error-prior LLR of the shared circulant-part variables
+    prior_i,  # [B, P, N] identity-part priors (LLR 0 rows are inert checks)
+    syndrome,  # [B, P, N] one syndrome row set per circulant block
+    shifts_blocks: tuple,  # P tuples of shifts, one circulant per block
+    max_iter: int,
+    method: str,
+):
+    """BP over ``H = [[C_1];...;[C_P]] | I_{P*N}`` — P stacked circulants
+    sharing the same N variables, each row with its own identity column.
+
+    This is the single-compile-shape formulation of the HQC attack decode:
+    the full circulant of every plaintext is present, measured rows carry
+    their check value in ``syndrome`` and their certainty in ``prior_i``,
+    and unmeasured rows are made inert by an exactly-zero identity-prior
+    LLR (a parity check with one uniform-prior member conveys no extrinsic
+    information).  Accumulating more checks changes only array *values*,
+    never the compiled shape (vs hqc.py:680's per-decode H rebuild).
+    """
+    b, p, n = syndrome.shape
+    syndrome8 = syndrome.astype(jnp.int8)
+    sign_syn = (1 - 2 * syndrome8).astype(jnp.float32)  # [B, P, N]
+
+    # v2c planes: [B, P, W, N]; plane (p, t) check-major.
+    v2c0 = jnp.stack(
+        [
+            jnp.stack([jnp.roll(prior_c, k, axis=-1) for k in shifts], axis=1)
+            for shifts in shifts_blocks
+        ],
+        axis=1,
+    )
+    w = v2c0.shape[2]
+
+    def iterate(v2c):
+        planes = jnp.concatenate([v2c, prior_i[:, :, None, :]], axis=2)
+        flat = planes.reshape(b * p, w + 1, n)
+        c2v = _plane_check_update(
+            flat, sign_syn.reshape(b * p, n), method
+        ).reshape(b, p, w + 1, n)
+        c2v_c = c2v[:, :, :w, :]
+        tot_c = prior_c + sum(
+            jnp.roll(c2v_c[:, pi, t, :], -k, axis=-1)
+            for pi, shifts in enumerate(shifts_blocks)
+            for t, k in enumerate(shifts)
+        )
+        v2c_new = jnp.stack(
+            [
+                jnp.stack([jnp.roll(tot_c, k, axis=-1) for k in shifts], axis=1)
+                for shifts in shifts_blocks
+            ],
+            axis=1,
+        ) - c2v_c
+        v2c_new = jnp.clip(v2c_new, -_BIG, _BIG)
+        tot_i = prior_i + c2v[:, :, w, :]
+        return v2c_new, tot_c, tot_i
+
+    def syndrome_of(e_c, e_i):
+        s = jnp.stack(
+            [
+                sum(jnp.roll(e_c, k, axis=-1) for k in shifts)
+                for shifts in shifts_blocks
+            ],
+            axis=1,
+        )
+        return (s + e_i) % 2
+
+    def body(state):
+        it, v2c, e_out_c, e_out_i, conv = state
+        v2c_new, tot_c, tot_i = iterate(v2c)
+        e_c = (tot_c < 0).astype(jnp.int8)
+        e_i = (tot_i < 0).astype(jnp.int8)
+        ok = jnp.all(syndrome_of(e_c, e_i) == syndrome8, axis=(-2, -1))
+        e_out_c = jnp.where(conv[:, None], e_out_c, e_c)
+        e_out_i = jnp.where(conv[:, None, None], e_out_i, e_i)
+        return it + 1, v2c_new, e_out_c, e_out_i, conv | ok
+
+    def cond(state):
+        it, _, _, _, conv = state
+        return (it < max_iter) & ~jnp.all(conv)
+
+    e0 = (prior_c < 0).astype(jnp.int8)
+    e0i = (prior_i < 0).astype(jnp.int8)
+    state = (jnp.int32(0), v2c0, e0, e0i, jnp.zeros((b,), bool))
+    it, _, e_c, e_i, conv = jax.lax.while_loop(cond, body, state)
+    return e_c.astype(jnp.int32), e_i.astype(jnp.int32), conv, it
+
+
 class CirculantBPDecoder:
     """Batched syndrome BP decoder over a :class:`CirculantLayout`."""
 
