@@ -636,18 +636,17 @@ class MaskedCirculantCheckDecoder(CheckDecoder):
             self._block_shifts.append(key)
         self._rows.append((self._blocks[key], int(bit_n)))
 
-    def decode(self, tracking, checks, y_sparse, executor=None):
-        if executor is not None:  # cross-instance batching: general path
-            return executor.decode(self, tracking, checks, y_sparse)
-        import jax.numpy as jnp
-
-        from ...ops.circulant_bp import _multi_circulant_bp
-
+    def build_masked_arrays(self, checks, y_sparse, p_pad=None):
+        """(prior_c [N], prior_i [P,N], syn [P,N], shifts [P,W]) for the
+        current check set.  ``p_pad`` pads with all-inert extra blocks so
+        independent instances can share one compiled (N, P, W) shape."""
         params = self.params
         N = params.N
         R = len(checks)
         assert R == len(self._rows)
-        P = len(self._block_shifts)
+        P = p_pad if p_pad is not None else len(self._block_shifts)
+        assert P >= len(self._block_shifts)
+        W = len(self._block_shifts[0])
 
         syn = np.zeros((P, N), np.int32)
         prior_i = np.zeros((P, N), np.float32)  # LLR 0 == inert row
@@ -659,29 +658,46 @@ class MaskedCirculantCheckDecoder(CheckDecoder):
             p_err = min(max(1.0 - certainty, 1e-9), 1.0 - 1e-9)
             prior_i[blk, bit] = np.log((1.0 - p_err) / p_err)
 
+        shifts = np.zeros((P, W), np.int32)
+        shifts[: len(self._block_shifts)] = np.asarray(self._block_shifts, np.int32)
+
         prob_one = min(max(len(y_sparse) / N, 1e-9), 1.0 - 1e-9)
-        prior_c = np.full((1, N), np.log((1.0 - prob_one) / prob_one), np.float32)
+        prior_c = np.full(N, np.log((1.0 - prob_one) / prob_one), np.float32)
+        return prior_c, prior_i, syn, shifts
 
-        logger.info(
-            f"Attempting masked-circulant decode with {R} checks over "
-            f"{P} plaintext block(s)."
-        )
-        e_c, e_i, _conv, _it = _multi_circulant_bp(
-            jnp.asarray(prior_c),
-            jnp.asarray(prior_i[None]),
-            jnp.asarray(syn[None]),
-            tuple(self._block_shifts),
-            self.max_iter,
-            self.method,
-        )
-        e_c, e_i = np.asarray(e_c[0]), np.asarray(e_i[0])
-
-        # Reassemble the [y | per-check indicator] vector stats expect.
+    def stats_from_masked(self, tracking, e_c, e_i, checks, y_sparse):
+        """Reassemble the [y | per-check indicator] vector stats expect."""
+        N = self.params.N
+        R = len(checks)
         decoded = np.zeros(N + R, np.int32)
         decoded[:N] = e_c
         for i, (blk, bit) in enumerate(self._rows):
             decoded[N + i] = e_i[blk, bit]
         return self.stats_from_decoded(tracking, decoded, checks, y_sparse)
+
+    def decode(self, tracking, checks, y_sparse, executor=None):
+        if executor is not None:  # cross-instance batching
+            return executor.decode(self, tracking, checks, y_sparse)
+        import jax.numpy as jnp
+
+        from ...ops.circulant_bp import _multi_circulant_bp
+
+        prior_c, prior_i, syn, shifts = self.build_masked_arrays(checks, y_sparse)
+        logger.info(
+            f"Attempting masked-circulant decode with {len(checks)} checks "
+            f"over {len(self._block_shifts)} plaintext block(s)."
+        )
+        e_c, e_i, _conv, _it = _multi_circulant_bp(
+            jnp.asarray(prior_c[None]),
+            jnp.asarray(prior_i[None]),
+            jnp.asarray(syn[None]),
+            jnp.asarray(shifts),
+            self.max_iter,
+            self.method,
+        )
+        return self.stats_from_masked(
+            tracking, np.asarray(e_c[0]), np.asarray(e_i[0]), checks, y_sparse
+        )
 
 
 def add_check(decoder, shifts, checks, y_times_r1, bit_n, check, certainty):

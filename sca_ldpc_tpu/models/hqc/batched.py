@@ -102,28 +102,76 @@ class BatchedDecodeExecutor:
         self._generation += 1
         self.batched_calls += 1
         try:
-            from .attack import _bucket
-
-            r_pad = max(_bucket(len(checks)) for _tid, (_d, _t, checks, _y) in items)
-            dv = max(dec.needed_dv() for _tid, (dec, _t, _c, _y) in items)
-            builds = [
-                (tid, dec, tr, checks, y, *dec.build_arrays(checks, y, r_pad=r_pad, dv=dv))
-                for tid, (dec, tr, checks, y) in items
-            ]
-            layouts = [b[5] for b in builds]
-            channels = [b[6] for b in builds]
-            msgs = [b[7] for b in builds]
-            logger.info(
-                f"Batched decode: {len(items)} instances, R_pad={r_pad}, DV={dv}"
-            )
-            decoded = _batched_decode_received(
-                layouts, channels, msgs, self.max_iter, self.method
-            )
-            for i, (tid, dec, tr, checks, y, *_rest) in enumerate(builds):
-                self._results[tid] = dec.stats_from_decoded(tr, decoded[i], checks, y)
+            self._execute(items)
         except BaseException as e:  # propagate to every waiter
             for tid, _ in items:
                 self._results[tid] = e
+
+    def _execute(self, items):
+        from .attack import _bucket
+
+        r_pad = max(_bucket(len(checks)) for _tid, (_d, _t, checks, _y) in items)
+        dv = max(dec.needed_dv() for _tid, (dec, _t, _c, _y) in items)
+        builds = [
+            (tid, dec, tr, checks, y, *dec.build_arrays(checks, y, r_pad=r_pad, dv=dv))
+            for tid, (dec, tr, checks, y) in items
+        ]
+        layouts = [b[5] for b in builds]
+        channels = [b[6] for b in builds]
+        msgs = [b[7] for b in builds]
+        logger.info(
+            f"Batched decode: {len(items)} instances, R_pad={r_pad}, DV={dv}"
+        )
+        decoded = _batched_decode_received(
+            layouts, channels, msgs, self.max_iter, self.method
+        )
+        for i, (tid, dec, tr, checks, y, *_rest) in enumerate(builds):
+            self._results[tid] = dec.stats_from_decoded(tr, decoded[i], checks, y)
+
+
+class BatchedCirculantDecodeExecutor(BatchedDecodeExecutor):
+    """Barrier batcher over MaskedCirculantCheckDecoder instances: one
+    vmapped full-circulant masked decode for all of them.
+
+    Because the circulant shifts are DATA in _multi_circulant_bp, all
+    instances (each with its own keys and random circulants) share one
+    compiled (N, P_pad, W) program; instances with fewer plaintexts are
+    padded with all-inert blocks."""
+
+    def _execute(self, items):
+        import jax
+        import jax.numpy as jnp
+
+        from ...ops.circulant_bp import _multi_circulant_bp
+
+        p_pad = max(len(dec._block_shifts) for _tid, (dec, _t, _c, _y) in items)
+        builds = [
+            (tid, dec, tr, checks, y, *dec.build_masked_arrays(checks, y, p_pad=p_pad))
+            for tid, (dec, tr, checks, y) in items
+        ]
+        logger.info(
+            f"Batched masked-circulant decode: {len(items)} instances, "
+            f"P_pad={p_pad}"
+        )
+        # One async dispatch per instance: all instances share a single
+        # compiled (N, P_pad, W) program (shifts are data), and the device
+        # pipelines the dispatches — faster than vmapping the instance axis,
+        # which would turn the dynamic rolls into per-instance gathers.
+        outs = [
+            _multi_circulant_bp(
+                jnp.asarray(pc[None]), jnp.asarray(pi[None]),
+                jnp.asarray(sy[None]), jnp.asarray(sh),
+                self.max_iter, self.method,
+            )
+            for (_tid, _dec, _tr, _checks, _y, pc, pi, sy, sh) in builds
+        ]
+        jax.block_until_ready(outs)
+        for (tid, dec, tr, checks, y, *_rest), (e_c, e_i, _cv, _it) in zip(
+            builds, outs
+        ):
+            self._results[tid] = dec.stats_from_masked(
+                tr, np.asarray(e_c[0]), np.asarray(e_i[0]), checks, y
+            )
 
 
 def simulate_hqc_attacks_batched(
@@ -134,13 +182,19 @@ def simulate_hqc_attacks_batched(
     param_set="128",
     max_oracle_calls=None,
     oracle_backend="fast",
+    decode_backend="general",
 ):
     """Run len(seeds) independent attack instances with batched decodes.
 
     Each instance attacks its own random key.  Returns a list of
-    (success, tracking) in seed order.
+    (success, tracking) in seed order.  ``decode_backend="circulant"``
+    batches single-compile-shape masked full-circulant decodes (the TPU
+    path); "general" batches bucketed checks-only decodes.
     """
-    executor = BatchedDecodeExecutor(len(seeds))
+    if decode_backend == "circulant":
+        executor = BatchedCirculantDecodeExecutor(len(seeds))
+    else:
+        executor = BatchedDecodeExecutor(len(seeds))
     results = [None] * len(seeds)
     params = make_params(param_set, decode_every, weight, error_rate)
     keypairs = [params.HQC.keypair() for _ in seeds]
@@ -157,6 +211,7 @@ def simulate_hqc_attacks_batched(
                 max_oracle_calls=max_oracle_calls,
                 oracle_backend=oracle_backend,
                 decode_executor=executor,
+                decode_backend=decode_backend,
                 keypair=keypairs[i],
             )
         finally:

@@ -122,12 +122,12 @@ def _circulant_bp(
     return e.astype(jnp.int32), conv, it
 
 
-@partial(jax.jit, static_argnames=("shifts_blocks", "max_iter", "method"))
+@partial(jax.jit, static_argnames=("max_iter", "method"))
 def _multi_circulant_bp(
     prior_c,  # [B, N] error-prior LLR of the shared circulant-part variables
     prior_i,  # [B, P, N] identity-part priors (LLR 0 rows are inert checks)
     syndrome,  # [B, P, N] one syndrome row set per circulant block
-    shifts_blocks: tuple,  # P tuples of shifts, one circulant per block
+    shifts,  # [P, W] int32 — one circulant's nonzero shifts per block
     max_iter: int,
     method: str,
 ):
@@ -139,22 +139,31 @@ def _multi_circulant_bp(
     their check value in ``syndrome`` and their certainty in ``prior_i``,
     and unmeasured rows are made inert by an exactly-zero identity-prior
     LLR (a parity check with one uniform-prior member conveys no extrinsic
-    information).  Accumulating more checks changes only array *values*,
-    never the compiled shape (vs hqc.py:680's per-decode H rebuild).
+    information).  ``shifts`` is DATA, not a static argument: one compile
+    per (N, P, W) serves every circulant of the whole attack or sweep
+    (dynamic rolls measure the same speed as static ones on TPU), and the
+    function vmaps over instances for cross-attack batching (vs
+    hqc.py:680's per-decode H rebuild).
     """
     b, p, n = syndrome.shape
+    w = shifts.shape[1]
     syndrome8 = syndrome.astype(jnp.int8)
     sign_syn = (1 - 2 * syndrome8).astype(jnp.float32)  # [B, P, N]
 
+    def roll(x, k):
+        return jnp.roll(x, k, axis=-1)
+
     # v2c planes: [B, P, W, N]; plane (p, t) check-major.
-    v2c0 = jnp.stack(
-        [
-            jnp.stack([jnp.roll(prior_c, k, axis=-1) for k in shifts], axis=1)
-            for shifts in shifts_blocks
-        ],
-        axis=1,
-    )
-    w = v2c0.shape[2]
+    def plane_stack(x):
+        return jnp.stack(
+            [
+                jnp.stack([roll(x, shifts[pi, t]) for t in range(w)], axis=1)
+                for pi in range(p)
+            ],
+            axis=1,
+        )
+
+    v2c0 = plane_stack(prior_c)
 
     def iterate(v2c):
         planes = jnp.concatenate([v2c, prior_i[:, :, None, :]], axis=2)
@@ -164,17 +173,11 @@ def _multi_circulant_bp(
         ).reshape(b, p, w + 1, n)
         c2v_c = c2v[:, :, :w, :]
         tot_c = prior_c + sum(
-            jnp.roll(c2v_c[:, pi, t, :], -k, axis=-1)
-            for pi, shifts in enumerate(shifts_blocks)
-            for t, k in enumerate(shifts)
+            roll(c2v_c[:, pi, t, :], -shifts[pi, t])
+            for pi in range(p)
+            for t in range(w)
         )
-        v2c_new = jnp.stack(
-            [
-                jnp.stack([jnp.roll(tot_c, k, axis=-1) for k in shifts], axis=1)
-                for shifts in shifts_blocks
-            ],
-            axis=1,
-        ) - c2v_c
+        v2c_new = plane_stack(tot_c) - c2v_c
         v2c_new = jnp.clip(v2c_new, -_BIG, _BIG)
         tot_i = prior_i + c2v[:, :, w, :]
         return v2c_new, tot_c, tot_i
@@ -182,8 +185,8 @@ def _multi_circulant_bp(
     def syndrome_of(e_c, e_i):
         s = jnp.stack(
             [
-                sum(jnp.roll(e_c, k, axis=-1) for k in shifts)
-                for shifts in shifts_blocks
+                sum(roll(e_c, shifts[pi, t]) for t in range(w))
+                for pi in range(p)
             ],
             axis=1,
         )
