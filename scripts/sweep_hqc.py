@@ -42,13 +42,20 @@ def main():
     ap.add_argument("--seed-base", type=int, default=0)
     ap.add_argument("--max-oracle-calls", type=int, default=None)
     ap.add_argument("--oracle-backend", default="fast", choices=["fast", "native"])
+    ap.add_argument("--decode-backend", default="general",
+                    choices=["general", "circulant"],
+                    help="'circulant' = single-compile-shape masked "
+                         "full-circulant decode; combine with "
+                         "--platform default to decode on the TPU "
+                         "(one compile serves the whole sweep)")
     ap.add_argument("--state-dir", default=None,
                     help="resume-marker directory (default: <csv>.state)")
     ap.add_argument("--platform", default="cpu", choices=["cpu", "default"],
-                    help="JAX platform for the decode batches.  The attack's "
-                         "decodes are small and latency-sensitive; 'cpu' "
-                         "(default) avoids per-dispatch accelerator latency. "
-                         "'default' keeps the session's platform.")
+                    help="JAX platform for the decode batches.  With the "
+                         "'general' decode backend, 'cpu' (default) avoids "
+                         "per-dispatch accelerator latency and per-bucket "
+                         "recompiles; with 'circulant', 'default' (TPU) is "
+                         "fastest.")
     args = ap.parse_args()
 
     if args.platform == "cpu":
@@ -94,6 +101,7 @@ def main():
             args.param_set,
             max_oracle_calls=args.max_oracle_calls,
             oracle_backend=args.oracle_backend,
+            decode_backend=args.decode_backend,
         )
         df = tracking.decoder_stats_data_frame(label=label)
         header = not os.path.exists(args.csv)
