@@ -27,7 +27,8 @@ def _signed(msg, sign):
     return jnp.where(sign[..., None] < 0, msg[..., ::-1], msg)
 
 
-@partial(jax.jit, static_argnames=("max_iter", "b_range", "dc", "backend"))
+@partial(jax.jit, static_argnames=("max_iter", "b_range", "dc", "backend",
+                                   "early_exit"))
 def _qary_min_sum(
     chk_var,  # [R, DC] int32, pad == n
     chk_sign,  # [R, DC] int8
@@ -40,6 +41,7 @@ def _qary_min_sum(
     b_range: int,  # B
     dc: int,
     backend: str = "xla",  # check-update backend: "xla" | "pallas"
+    early_exit: bool = False,  # stop when every frame satisfies all checks
 ):
     bt, n, q = channel.shape
     r = chk_var.shape[0]
@@ -101,12 +103,44 @@ def _qary_min_sum(
         v2c_new = jnp.where(mask_c[..., None], prim, delta[None])
         return v2c_new, total
 
-    # The reference takes its hard decision from the totals of the final
-    # iteration's variable update (decoder.rs:654-662).
-    _, total = jax.lax.fori_loop(
-        0, max_iter, body, (v2c0, jnp.zeros((bt, n, q)))
+    if not early_exit:
+        # The reference takes its hard decision from the totals of the final
+        # iteration's variable update (decoder.rs:654-662), always running
+        # max_iter iterations.
+        _, total = jax.lax.fori_loop(
+            0, max_iter, body, (v2c0, jnp.zeros((bt, n, q)))
+        )
+        return jnp.argmin(total, axis=-1).astype(jnp.int32) - b_range
+
+    # Early-exit variant (beyond the reference): per-frame hard decisions
+    # latch at the first iteration whose decision satisfies every check
+    # (sum of signed symbols == 0 over the integers); the batch stops when
+    # all frames have latched or max_iter is reached.
+    def satisfied(hard):
+        hard_pad = jnp.concatenate([hard, jnp.zeros((bt, 1), jnp.int32)], axis=1)
+        sym = jnp.take(hard_pad, chk_var.reshape(-1), axis=1).reshape(bt, r, dc)
+        sym = jnp.where(mask_c, sym * jnp.asarray(chk_sign, jnp.int32), 0)
+        return jnp.all(jnp.sum(sym, axis=-1) == 0, axis=-1)  # [Bt]
+
+    def w_body(state):
+        it, v2c, hard_out, conv = state
+        v2c_new, total = body(it, (v2c, None))
+        hard = jnp.argmin(total, axis=-1).astype(jnp.int32) - b_range
+        ok = satisfied(hard)
+        hard_out = jnp.where(conv[:, None], hard_out, hard)
+        return it + 1, v2c_new, hard_out, conv | ok
+
+    def w_cond(state):
+        it, _v2c, _hard, conv = state
+        return (it < max_iter) & ~jnp.all(conv)
+
+    state = (
+        jnp.int32(0),
+        v2c0,
+        jnp.zeros((bt, n), jnp.int32),
+        jnp.zeros((bt,), bool),
     )
-    hard = jnp.argmin(total, axis=-1).astype(jnp.int32) - b_range
+    _, _, hard, _ = jax.lax.while_loop(w_cond, w_body, state)
     return hard
 
 
@@ -118,12 +152,13 @@ class QaryDecoder:
     """
 
     def __init__(self, H, b_range: int, max_iter: int, dc=None, dv=None,
-                 backend="xla"):
+                 backend="xla", early_exit=False):
         self.layout = CodeLayout.from_h(np.asarray(H), dc=dc, dv=dv)
         self.b = int(b_range)
         self.q = 2 * self.b + 1
         self.max_iter = int(max_iter)
         self.backend = backend
+        self.early_exit = bool(early_exit)
         lay = self.layout
         self._args = (
             jnp.asarray(lay.chk_var),
@@ -150,7 +185,7 @@ class QaryDecoder:
         llr = minplus.clip_inf(probs_to_llr(probs))
         hard = _qary_min_sum(
             *self._args, llr, self.max_iter, self.b, self.layout.dc,
-            backend=self.backend,
+            backend=self.backend, early_exit=self.early_exit,
         )
         return hard[0] if squeeze else hard
 
@@ -163,6 +198,6 @@ class QaryDecoder:
         llr = minplus.clip_inf(llr)
         hard = _qary_min_sum(
             *self._args, llr, self.max_iter, self.b, self.layout.dc,
-            backend=self.backend,
+            backend=self.backend, early_exit=self.early_exit,
         )
         return hard[0] if squeeze else hard

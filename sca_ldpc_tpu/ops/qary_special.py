@@ -28,7 +28,8 @@ from .minplus import BIG
 from .qary import _signed
 
 
-@partial(jax.jit, static_argnames=("max_iter", "b", "bsum", "sw", "backend"))
+@partial(jax.jit, static_argnames=("max_iter", "b", "bsum", "sw", "backend",
+                                   "early_exit"))
 def _special_min_sum(
     bvar_idx,  # [R, SW] int32, pad == n_b
     bvar_sign,  # [R, SW] int8
@@ -45,6 +46,7 @@ def _special_min_sum(
     bsum: int,
     sw: int,
     backend: str = "xla",  # check-update backend: "xla" | "pallas"
+    early_exit: bool = False,  # stop when every frame satisfies all checks
 ):
     bt, n_b, bsize = channel.shape
     r = bvar_idx.shape[0]
@@ -118,12 +120,46 @@ def _special_min_sum(
         jnp.zeros((bt, n_b, bsize)),
         jnp.zeros((bt, r, bsumsize)),
     )
-    _, total_b, total_sum = jax.lax.fori_loop(0, max_iter, body, state0)
 
-    hard_b = jnp.argmin(total_b, axis=-1).astype(jnp.int32) - b
-    hard_sum_row = jnp.argmin(total_sum, axis=-1).astype(jnp.int32) - bsum
-    hard_sum = jnp.take(hard_sum_row, row_of_sum, axis=1)
-    return jnp.concatenate([hard_b, hard_sum], axis=1)
+    def decide(total_b, total_sum):
+        hard_b = jnp.argmin(total_b, axis=-1).astype(jnp.int32) - b
+        hard_sum_row = jnp.argmin(total_sum, axis=-1).astype(jnp.int32) - bsum
+        hard_sum = jnp.take(hard_sum_row, row_of_sum, axis=1)
+        return jnp.concatenate([hard_b, hard_sum], axis=1), hard_b, hard_sum_row
+
+    if not early_exit:
+        _, total_b, total_sum = jax.lax.fori_loop(0, max_iter, body, state0)
+        return decide(total_b, total_sum)[0]
+
+    # Early-exit variant (beyond the reference): latch per-frame decisions
+    # when every row satisfies sum(signed b-symbols) + signed sum-symbol == 0
+    # over the integers (the counterweight rule, decoder_special.rs:533-537).
+    sign_s = jnp.asarray(sum_sign, jnp.int32)
+
+    def satisfied(hard_b, hard_sum_row):
+        hard_pad = jnp.concatenate([hard_b, jnp.zeros((bt, 1), jnp.int32)], axis=1)
+        sym = jnp.take(hard_pad, bvar_idx.reshape(-1), axis=1).reshape(bt, r, sw)
+        sym = jnp.where(bvar_mask, sym * sign_c, 0)
+        row = jnp.sum(sym, axis=-1) + sign_s[None, :] * hard_sum_row
+        return jnp.all(row == 0, axis=-1)
+
+    def w_body(state):
+        it, loop_state, hard_out, conv = state
+        loop_state = body(it, loop_state)
+        _, total_b, total_sum = loop_state
+        hard, hard_b, hard_sum_row = decide(total_b, total_sum)
+        ok = satisfied(hard_b, hard_sum_row)
+        hard_out = jnp.where(conv[:, None], hard_out, hard)
+        return it + 1, loop_state, hard_out, conv | ok
+
+    def w_cond(state):
+        it, _s, _h, conv = state
+        return (it < max_iter) & ~jnp.all(conv)
+
+    state = (jnp.int32(0), state0, jnp.zeros((bt, n_b + r), jnp.int32),
+             jnp.zeros((bt,), bool))
+    _, _, hard, _ = jax.lax.while_loop(w_cond, w_body, state)
+    return hard
 
 
 class QarySpecialDecoder:
@@ -133,7 +169,7 @@ class QarySpecialDecoder:
     """
 
     def __init__(self, H, b: int, bsum: int, max_iter: int, sw=None,
-                 backend="xla"):
+                 backend="xla", early_exit=False):
         H = np.asarray(H)
         r, n = H.shape
         n_b = n - r
@@ -141,6 +177,7 @@ class QarySpecialDecoder:
             raise ValueError(f"BSUM ({bsum}) must be a multiple of B ({b})")
         self.b, self.bsum, self.max_iter = int(b), int(bsum), int(max_iter)
         self.backend = backend
+        self.early_exit = bool(early_exit)
         self.n, self.r, self.n_b = n, r, n_b
 
         rows, cols = np.nonzero(H)
@@ -214,6 +251,6 @@ class QarySpecialDecoder:
         llr_s_row = jnp.take(llr_s, jnp.asarray(self._sum_var), axis=1)
         hard = _special_min_sum(
             *self._args, llr_b, llr_s_row, self.max_iter, self.b, self.bsum,
-            self.sw, backend=self.backend,
+            self.sw, backend=self.backend, early_exit=self.early_exit,
         )
         return hard[0] if squeeze else hard

@@ -19,7 +19,7 @@ _PLAIN = re.compile(r"^DecoderN(\d+)R(\d+)V(\d+)C(\d+)B(\d+)$")
 _SPECIAL = re.compile(r"^DecoderN(\d+)R(\d+)SW(\d+)$")
 
 
-def get_decoder_by_name(name, H, iterations, eta=2):
+def get_decoder_by_name(name, H, iterations, eta=2, **kwargs):
     """Construct the decoder a reference instance name denotes.
 
     - ``DecoderN{n}R{r}V{dv}C{dc}B{b}`` -> q-ary min-sum decoder
@@ -34,13 +34,15 @@ def get_decoder_by_name(name, H, iterations, eta=2):
         n, r, dv, dc, b = map(int, m.groups())
         if H.shape != (r, n):
             raise ValueError(f"{name}: H shape {H.shape} != ({r}, {n})")
-        return QaryDecoder(H, b_range=b, max_iter=iterations, dc=dc, dv=dv)
+        return QaryDecoder(H, b_range=b, max_iter=iterations, dc=dc, dv=dv,
+                           **kwargs)
     m = _SPECIAL.match(name)
     if m:
         n, r, sw = map(int, m.groups())
         if H.shape != (r, n):
             raise ValueError(f"{name}: H shape {H.shape} != ({r}, {n})")
-        return QarySpecialDecoder(H, b=eta, bsum=sw * eta, max_iter=iterations, sw=sw)
+        return QarySpecialDecoder(H, b=eta, bsum=sw * eta, max_iter=iterations,
+                                  sw=sw, **kwargs)
     raise ValueError(f"unrecognized decoder name: {name}")
 
 

@@ -223,3 +223,50 @@ def test_decoder_registry():
         get_decoder_by_name("DecoderBogus", H, 5)
     with pytest.raises(ValueError):
         get_decoder_by_name("DecoderN450R150V3C7B1", H[:, :-1], 5)
+
+
+def test_qary_early_exit_matches_fixed():
+    """early_exit=True returns the same hard decisions as the fixed-iteration
+    path on convergent inputs (and satisfies all checks)."""
+    from sca_ldpc_tpu.codes import make_regular_ldpc_parity_check_matrix_identity
+    from sca_ldpc_tpu.ops import QaryDecoder
+    from sca_ldpc_tpu.utils import make_random_state
+
+    rng = make_random_state(1)
+    H = make_regular_ldpc_parity_check_matrix_identity(60, 30, 3, 6, rng).astype(np.int8)
+    b, q = 2, 5
+    dec = QaryDecoder(H, b, max_iter=8)
+    dec_ee = QaryDecoder(H, b, max_iter=8, early_exit=True)
+    n = H.shape[1]
+    probs = np.full((16, n, q), 0.02, np.float32)
+    probs[:, :, b] = 0.92
+    # a couple of noisy positions per frame
+    r2 = np.random.RandomState(0)
+    for f in range(16):
+        for j in r2.choice(n, 2, replace=False):
+            probs[f, j] = 0.1
+            probs[f, j, (b + r2.randint(1, q)) % q] = 0.6
+    h_fixed = np.asarray(dec.min_sum(probs))
+    h_ee = np.asarray(dec_ee.min_sum(probs))
+    # all early-exit outputs satisfy every check
+    sat = (H.astype(np.int64) @ h_ee.T == 0).all()
+    assert sat
+    assert (h_fixed == h_ee).all()
+
+
+def test_qary_special_early_exit_matches_fixed():
+    from sca_ldpc_tpu.models.kyber import gen_ldpc_matrix
+    from sca_ldpc_tpu.ops import QarySpecialDecoder
+
+    H = gen_ldpc_matrix(6, 0, check_blocks=1)
+    q, qs = 5, 25
+    ch_b = np.full((4, 768, q), 0.02, np.float32)
+    ch_b[:, :, 2] = 0.92
+    ch_s = np.zeros((4, 256, qs), np.float32)
+    ch_s[:, :, 12] = 1.0
+    dx = QarySpecialDecoder(H, 2, 12, max_iter=6)
+    de = QarySpecialDecoder(H, 2, 12, max_iter=6, early_exit=True)
+    hx = np.asarray(dx.min_sum(ch_b, ch_s))
+    he = np.asarray(de.min_sum(ch_b, ch_s))
+    assert (hx == he).all()
+    assert (he == 0).all()
