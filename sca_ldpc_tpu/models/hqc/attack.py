@@ -125,6 +125,27 @@ def flip_single_bit(ct, block, bit, N, N2):
     return toggle_bits_in_v(ct, [block * N2 + bit], N)
 
 
+_debug_bytearray_stored = None
+
+
+def debug_bytearray(arr, store=False):
+    """Hex-diff ``arr`` against a previously stored snapshot (oracle-debugging
+    helper, reference: hqc.py:911-921).
+
+    >>> debug_bytearray(b"\\x01\\x02", store=True)
+    ''
+    >>> debug_bytearray(b"\\x01\\x07")
+    '07'
+    """
+    global _debug_bytearray_stored
+    if store:
+        _debug_bytearray_stored = arr
+        return ""
+    if _debug_bytearray_stored:
+        return bytes_compare(arr, _debug_bytearray_stored, pad=False)
+    return ""
+
+
 def bytes_compare(array, compare_to, delimit=False, pad=True):
     """Hex-diff of two byte strings: differing bytes shown, equal ones padded
     (oracle-debugging helper, reference: hqc.py:766-779).
