@@ -687,13 +687,17 @@ class MaskedCirculantCheckDecoder(CheckDecoder):
         return prior_c, prior_i, syn, shifts
 
     def stats_from_masked(self, tracking, e_c, e_i, checks, y_sparse):
-        """Reassemble the [y | per-check indicator] vector stats expect."""
+        """Reassemble the [y | per-check indicator] vector stats expect.
+
+        The general path's decoded[N+i] is the CORRECTED check word
+        ``c_i XOR e_i`` (BinaryBPDecoder.decode_received returns (z+e)%2),
+        so the identity-error bit must be xored with the measured value."""
         N = self.params.N
         R = len(checks)
         decoded = np.zeros(N + R, np.int32)
         decoded[:N] = e_c
-        for i, (blk, bit) in enumerate(self._rows):
-            decoded[N + i] = e_i[blk, bit]
+        for i, ((blk, bit), (c, _p)) in enumerate(zip(self._rows, checks)):
+            decoded[N + i] = int(c) ^ int(e_i[blk, bit])
         return self.stats_from_decoded(tracking, decoded, checks, y_sparse)
 
     def decode(self, tracking, checks, y_sparse, executor=None):

@@ -193,8 +193,10 @@ def simulate_hqc_attacks_batched(
     """
     if decode_backend == "circulant":
         executor = BatchedCirculantDecodeExecutor(len(seeds))
-    else:
+    elif decode_backend == "general":
         executor = BatchedDecodeExecutor(len(seeds))
+    else:
+        raise ValueError(f"unknown decode_backend: {decode_backend}")
     results = [None] * len(seeds)
     params = make_params(param_set, decode_every, weight, error_rate)
     keypairs = [params.HQC.keypair() for _ in seeds]

@@ -55,9 +55,10 @@ def _conv_planes(a, b, s_out, ha=None, hb=None):
     return jnp.minimum(out, BIG)
 
 
-def _make_check_kernel(dc, q, b_sup, s_mid, s_out, se):
+def _make_check_kernel(dc, q, b_sup, s_mid, s_out, se, has_extra):
     """Kernel computing chain_exclusive(v2c, s_mid, extra, s_out) for one
-    frame tile.  ``se``: extra operand half-support (0 = no extra)."""
+    frame tile.  ``se``: extra operand half-support (may be 0 even when an
+    extra operand is present — a width-1 extra is a per-edge constant)."""
     d = dc
     s_pre = s_out + se
 
@@ -65,7 +66,7 @@ def _make_check_kernel(dc, q, b_sup, s_mid, s_out, se):
         return min(count * b_sup, s_pre + (d - 1 - count) * b_sup, s_mid)
 
     def body(refs):
-        if se:
+        if has_extra:
             v2c_ref, extra_ref, out_ref = refs
         else:
             v2c_ref, out_ref = refs
@@ -85,16 +86,16 @@ def _make_check_kernel(dc, q, b_sup, s_mid, s_out, se):
             )
         suffix = suffix[::-1]
 
-        extra = extra_ref[...] if se else None  # [2*se+1, TB, R]
+        extra = extra_ref[...] if has_extra else None  # [2*se+1, TB, R]
         for j in range(d):
             e = _conv_planes(
                 prefix[j], suffix[j], s_pre, ha=j * b_sup, hb=(d - 1 - j) * b_sup
             )
-            if se:
+            if has_extra:
                 e = _conv_planes(extra, e, s_out, ha=se, hb=s_pre)
             out_ref[j] = e
 
-    if se:
+    if has_extra:
         return lambda v2c_ref, extra_ref, out_ref: body((v2c_ref, extra_ref, out_ref))
     return lambda v2c_ref, out_ref: body((v2c_ref, out_ref))
 
@@ -120,6 +121,7 @@ def chain_exclusive_pallas(v2c, s_mid: int, s_out: int, extra=None, tb: int = 8)
         return chain_exclusive_pallas(v2c, s_mid, s_out, extra=extra, tb=tb)[:bt0]
     bt, r, dc, q = v2c.shape
     b_sup = (q - 1) // 2
+    has_extra = extra is not None
     se = 0 if extra is None else (extra.shape[-1] - 1) // 2
     w_out = 2 * s_out + 1
     grid = (bt // tb,)
@@ -129,7 +131,7 @@ def chain_exclusive_pallas(v2c, s_mid: int, s_out: int, extra=None, tb: int = 8)
         pl.BlockSpec((dc, q, tb, r), lambda i: (0, 0, i, 0), memory_space=pltpu.VMEM)
     ]
     args = [x]
-    if se:
+    if has_extra:
         xe = jnp.transpose(extra, (2, 0, 1))  # [We, Bt, R]
         in_specs.append(
             pl.BlockSpec(
@@ -138,7 +140,7 @@ def chain_exclusive_pallas(v2c, s_mid: int, s_out: int, extra=None, tb: int = 8)
         )
         args.append(xe)
 
-    kernel = _make_check_kernel(dc, q, b_sup, s_mid, s_out, se)
+    kernel = _make_check_kernel(dc, q, b_sup, s_mid, s_out, se, has_extra)
     out = pl.pallas_call(
         kernel,
         grid=grid,

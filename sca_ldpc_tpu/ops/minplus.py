@@ -129,8 +129,3 @@ def chain_exclusive(alphas, s_mid, extra=None, s_out=None):
             e = conv(extra, e, s_out, a_half_support=se, b_half_support=s_pre)
         outs.append(e)
     return jnp.stack(outs, axis=-2)
-
-
-def conv_pair(a, b, s_out, a_half_support=None):
-    """Min-plus conv of two same-width operands."""
-    return conv(a, b, s_out, a_half_support=a_half_support)

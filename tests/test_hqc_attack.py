@@ -113,6 +113,13 @@ def test_toy_decode_masked_circulant():
     assert ok
     assert tracking.decoder_stats[-1]["good_flips"] == len(y_sparse)
     assert tracking.decoder_stats[-1]["bad_flips"] == 0
+    # noiseless certainty-1.0 checks: no suspected measurement errors
+    # (regression: the indicator must be c XOR e_i, not raw e_i)
+    assert tracking.decoder_stats[-1]["found_bad_satisfied_checks"] == 0
+    assert tracking.decoder_stats[-1]["found_bad_unsatisfied_checks"] == 0
+    # stats identical to the general decoder on the same check set
+    _ok_g, tracking_g = _run_decode(params, Hgen[0], y_sparse, only_ones=False)
+    assert tracking.decoder_stats[-1] == tracking_g.decoder_stats[-1]
     # (only_ones on this 20-bit toy is under-determined: BP prefers the
     # all-measurements-wrong fixpoint in BOTH the general and the masked
     # formulation, so it is not a conformance point; the full-N inert-row

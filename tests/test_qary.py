@@ -255,18 +255,36 @@ def test_qary_early_exit_matches_fixed():
 
 
 def test_qary_special_early_exit_matches_fixed():
+    """Nonzero secrets: the early-exit satisfaction rule (counterweight
+    signs) must latch the true codeword, not just the all-zero one."""
     from sca_ldpc_tpu.models.kyber import gen_ldpc_matrix
     from sca_ldpc_tpu.ops import QarySpecialDecoder
 
-    H = gen_ldpc_matrix(6, 0, check_blocks=1)
-    q, qs = 5, 25
-    ch_b = np.full((4, 768, q), 0.02, np.float32)
-    ch_b[:, :, 2] = 0.92
-    ch_s = np.zeros((4, 256, qs), np.float32)
-    ch_s[:, :, 12] = 1.0
-    dx = QarySpecialDecoder(H, 2, 12, max_iter=6)
-    de = QarySpecialDecoder(H, 2, 12, max_iter=6, early_exit=True)
+    H = np.asarray(gen_ldpc_matrix(6, 0, check_blocks=1), np.int64)
+    b, bsum = 2, 12
+    q, qs = 2 * b + 1, 2 * bsum + 1
+    n_b, r = 768, 256
+    rng = np.random.RandomState(5)
+    frames = 4
+    ch_b = np.full((frames, n_b, q), 0.01, np.float32)
+    ch_s = np.full((frames, r, qs), 1e-4, np.float32)
+    words = np.zeros((frames, n_b + r), np.int64)
+    for f in range(frames):
+        s = rng.randint(-b, b + 1, size=n_b)
+        # the sum variable absorbs the signed B-var sum: H @ [s, x] == 0
+        hs = H[:, :n_b] @ s
+        x = np.zeros(r, np.int64)
+        for row in range(r):
+            col = np.nonzero(H[row, n_b:])[0][0]
+            x[col] = -hs[row] // H[row, n_b + col]
+        assert (H @ np.concatenate([s, x]) == 0).all()
+        words[f] = np.concatenate([s, x])
+        ch_b[f, np.arange(n_b), s + b] = 0.9
+        ch_s[f, np.arange(r), x + bsum] = 0.99
+    dx = QarySpecialDecoder(H.astype(np.int8), b, bsum, max_iter=6)
+    de = QarySpecialDecoder(H.astype(np.int8), b, bsum, max_iter=6, early_exit=True)
     hx = np.asarray(dx.min_sum(ch_b, ch_s))
     he = np.asarray(de.min_sum(ch_b, ch_s))
     assert (hx == he).all()
-    assert (he == 0).all()
+    assert (he == words).all()
+    assert (np.einsum("rn,fn->fr", H, he) == 0).all()
