@@ -149,14 +149,14 @@ def bench_qary_medium(batch=512, iters=10, steps=10):
     from sca_ldpc_tpu.codes import make_regular_ldpc_parity_check_matrix_identity
     from sca_ldpc_tpu.ops import QaryDecoder
     from sca_ldpc_tpu.ops import minplus
-    from sca_ldpc_tpu.ops.qary import _qary_min_sum
     from sca_ldpc_tpu.utils import make_random_state
 
     rng = make_random_state(1)
     H = make_regular_ldpc_parity_check_matrix_identity(300, 150, 3, 6, rng).astype(np.int8)
-    # Pallas check-update kernel: +27% over the XLA path on this geometry
-    # (bitwise-equal messages; tests/test_pallas_kernel.py).
-    dec = QaryDecoder(H, b_range=7, max_iter=iters, backend="pallas")
+    # Fully-fused Pallas decode (all iterations VMEM-resident, variable
+    # update as one-hot MXU matmuls): 2x the split check-update kernel
+    # (hard decisions equal; tests/test_pallas_kernel.py).
+    dec = QaryDecoder(H, b_range=7, max_iter=iters, backend="fused")
     q = 15
     channel = np.zeros((batch, 450, q), np.float32)
     channel[:, :, 7] = 1.0
@@ -170,8 +170,7 @@ def bench_qary_medium(batch=512, iters=10, steps=10):
     def loop(llr, steps):
         def body(i, acc):
             x = llr.at[:, 0, 0].add(1e-6 * i)  # defeat loop-invariant hoisting
-            hard = _qary_min_sum(*dec._args, x, iters, dec.b, dec.layout.dc,
-                                 backend=dec.backend)
+            hard = dec._decode_llr(x)
             return acc + jnp.sum(jnp.abs(hard))
         return jax.lax.fori_loop(0, steps, body, jnp.int32(0))
 

@@ -152,3 +152,152 @@ def chain_exclusive_pallas(v2c, s_mid: int, s_out: int, extra=None, tb: int = 8)
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
     )(*args)
     return jnp.transpose(out, (2, 3, 0, 1))  # [Bt, R, DC, w_out]
+
+
+# ---------------------------------------------------------------------------
+# Fully-fused q-ary decode: ALL iterations of check + variable update inside
+# one kernel.  Message state stays in VMEM for the whole decode; the
+# variable-side gather/scatter becomes per-slot one-hot matmuls on the MXU
+# (graph adjacency as data), so HBM sees channel LLRs in and hard decisions
+# out, independent of iteration count.
+# ---------------------------------------------------------------------------
+
+
+def _flip_q(x):
+    """Reverse axis 0 (the symbol axis) of [Q, ...] via unrolled concat."""
+    qn = x.shape[0]
+    return jnp.concatenate([x[i : i + 1] for i in range(qn - 1, -1, -1)], axis=0)
+
+
+def _make_fused_kernel(n, r, dc, q, b_sup, max_iter, tb):
+    s_mid = (dc - 1) * b_sup
+
+    def kernel(ch_ref, gt_ref, gv_ref, neg_ref, pad_ref, hard_ref, v2c, tot):
+        # ch: [Q, TB, N]; gt: [DC, N, R]; gv: [DC, R, N];
+        # neg/pad: [DC, 1, R] f32 0/1; hard: [TB, N] int32
+        # scratch: v2c [DC, Q, TB, R], tot [Q, TB, N]
+        ch = ch_ref[...]
+        qi = jax.lax.broadcasted_iota(jnp.int32, (q, 1, 1), 0)
+        delta = jnp.where(qi == b_sup, 0.0, BIG)  # [Q, 1, 1]
+
+        def signed(x, neg):  # x [Q, TB, R], neg [1, R] broadcastable
+            return neg * _flip_q(x) + (1.0 - neg) * x
+
+        def gather(total):  # [Q, TB, N] -> list of DC [Q, TB, R] signed planes
+            flat = total.reshape(q * tb, n)
+            outs = []
+            for d in range(dc):
+                a = jnp.dot(flat, gt_ref[d], preferred_element_type=jnp.float32)
+                a = a.reshape(q, tb, r)
+                a = signed(a, neg_ref[d])
+                outs.append(a)
+            return outs
+
+        # initial v2c = signed channel at each edge (delta on pad slots)
+        for d, a in enumerate(gather(ch)):
+            v2c[d] = pad_ref[d] * delta + (1.0 - pad_ref[d]) * a
+
+        def iteration(_i, carry):
+            # ---- check update: exclusive min-plus chain per dc slot.
+            x = v2c[...]  # [DC, Q, TB, R]
+            ident = jnp.zeros((1, tb, r), jnp.float32)
+            prefix = [ident]
+            for j in range(dc - 1):
+                cap = min((j + 1) * b_sup, b_sup + (dc - 2 - j) * b_sup, s_mid)
+                prefix.append(_conv_planes(x[j], prefix[-1], cap, hb=j * b_sup))
+            suffix = [ident]
+            for j in range(dc - 1, 0, -1):
+                count = dc - j
+                cap = min(count * b_sup, b_sup + (dc - 1 - count) * b_sup, s_mid)
+                suffix.append(
+                    _conv_planes(x[j], suffix[-1], cap, hb=(count - 1) * b_sup)
+                )
+            suffix = suffix[::-1]
+
+            # ---- variable update: u = unsigned c2v; totals via scatter
+            # matmuls; extrinsic check-side via gather matmuls.
+            us = []
+            for d in range(dc):
+                ext = _conv_planes(
+                    prefix[d], suffix[d], b_sup,
+                    ha=d * b_sup, hb=(dc - 1 - d) * b_sup,
+                )
+                c2v_d = jnp.minimum(_flip_q(ext), BIG)  # signed (edge) domain
+                c2v_d = pad_ref[d] * delta + (1.0 - pad_ref[d]) * c2v_d
+                v2c[d] = c2v_d  # reuse scratch: stash c2v until extrinsic
+                u = signed(c2v_d, neg_ref[d])  # unsigned (variable) domain
+                u = (1.0 - pad_ref[d]) * u  # pad slots contribute 0
+                us.append(u)
+
+            total = ch
+            for d in range(dc):
+                contrib = jnp.dot(
+                    us[d].reshape(q * tb, r), gv_ref[d],
+                    preferred_element_type=jnp.float32,
+                ).reshape(q, tb, n)
+                total = total + contrib
+            tot[...] = total
+
+            for d, a in enumerate(gather(total)):
+                prim = a - v2c[d]  # v2c currently holds c2v (signed)
+                prim = prim - jnp.min(prim, axis=0, keepdims=True)
+                prim = jnp.minimum(prim, BIG)
+                v2c[d] = pad_ref[d] * delta + (1.0 - pad_ref[d]) * prim
+            return carry
+
+        jax.lax.fori_loop(0, max_iter, iteration, jnp.int32(0))
+
+        # hard decision: first-minimal symbol index (argmin semantics).
+        total = tot[...]
+        best = total[0]
+        besti = jnp.zeros((tb, n), jnp.int32)
+        for qq in range(1, q):
+            m = total[qq] < best
+            besti = jnp.where(m, qq, besti)
+            best = jnp.where(m, total[qq], best)
+        hard_ref[...] = besti - b_sup
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("b_sup", "max_iter", "tb"))
+def qary_min_sum_fused(channel_llr, gt, gv, neg, pad, b_sup: int,
+                       max_iter: int, tb: int = 8):
+    """Fused full decode.  ``channel_llr``: [Bt, N, Q] finite min-sum LLRs;
+    ``gt``: [DC, N, R] one-hot gather (var -> edge slot); ``gv``: [DC, R, N]
+    transpose; ``neg``/``pad``: [DC, 1, R] 0/1 masks.  Returns hard [Bt, N]."""
+    bt0 = channel_llr.shape[0]
+    if bt0 % tb:
+        pad_bt = tb - bt0 % tb
+        channel_llr = jnp.concatenate(
+            [channel_llr,
+             jnp.zeros((pad_bt,) + channel_llr.shape[1:], channel_llr.dtype)],
+            axis=0,
+        )
+        return qary_min_sum_fused(
+            channel_llr, gt, gv, neg, pad, b_sup, max_iter, tb
+        )[:bt0]
+    bt, n, q = channel_llr.shape
+    dc, _, r = gt.shape
+    ch = jnp.transpose(channel_llr, (2, 0, 1))  # [Q, Bt, N]
+
+    kernel = _make_fused_kernel(n, r, dc, q, b_sup, max_iter, tb)
+    hard = pl.pallas_call(
+        kernel,
+        grid=(bt // tb,),
+        in_specs=[
+            pl.BlockSpec((q, tb, n), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dc, n, r), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dc, r, n), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dc, 1, r), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dc, 1, r), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tb, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bt, n), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((dc, q, tb, r), jnp.float32),
+            pltpu.VMEM((q, tb, n), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(ch, gt, gv, neg, pad)
+    return hard

@@ -159,6 +159,9 @@ class QaryDecoder:
         self.max_iter = int(max_iter)
         self.backend = backend
         self.early_exit = bool(early_exit)
+        if backend == "fused" and self.early_exit:
+            raise ValueError("backend='fused' runs fixed iterations in-kernel")
+        self._fused = None
         lay = self.layout
         self._args = (
             jnp.asarray(lay.chk_var),
@@ -167,6 +170,39 @@ class QaryDecoder:
             jnp.asarray(lay.var_flat),
             jnp.asarray(lay.var_sign),
             jnp.asarray(lay.var_mask),
+        )
+
+    def _fused_args(self):
+        """One-hot adjacency arrays for the fully-fused kernel (cached)."""
+        if self._fused is None:
+            lay = self.layout
+            rr, dcw = lay.chk_var.shape
+            n = lay.n
+            gt = np.zeros((dcw, n, rr), np.float32)
+            neg = np.zeros((dcw, 1, rr), np.float32)
+            pad = np.ones((dcw, 1, rr), np.float32)
+            for i in range(rr):
+                for d in range(dcw):
+                    if lay.chk_mask[i, d]:
+                        gt[d, lay.chk_var[i, d], i] = 1.0
+                        neg[d, 0, i] = 1.0 if lay.chk_sign[i, d] < 0 else 0.0
+                        pad[d, 0, i] = 0.0
+            gv = np.ascontiguousarray(np.transpose(gt, (0, 2, 1)))
+            self._fused = tuple(
+                jnp.asarray(a) for a in (gt, gv, neg, pad)
+            )
+        return self._fused
+
+    def _decode_llr(self, llr):
+        if self.backend == "fused":
+            from .kernels.qary_pallas import qary_min_sum_fused
+
+            return qary_min_sum_fused(
+                llr, *self._fused_args(), self.b, self.max_iter
+            )
+        return _qary_min_sum(
+            *self._args, llr, self.max_iter, self.b, self.layout.dc,
+            backend=self.backend, early_exit=self.early_exit,
         )
 
     def min_sum(self, channel_probs):
@@ -183,10 +219,7 @@ class QaryDecoder:
         if probs.shape[-1] != self.q:
             raise ValueError(f"expected {self.q} symbol columns, got {probs.shape[-1]}")
         llr = minplus.clip_inf(probs_to_llr(probs))
-        hard = _qary_min_sum(
-            *self._args, llr, self.max_iter, self.b, self.layout.dc,
-            backend=self.backend, early_exit=self.early_exit,
-        )
+        hard = self._decode_llr(llr)
         return hard[0] if squeeze else hard
 
     def min_sum_llr(self, channel_llr):
@@ -196,8 +229,5 @@ class QaryDecoder:
         if squeeze:
             llr = llr[None]
         llr = minplus.clip_inf(llr)
-        hard = _qary_min_sum(
-            *self._args, llr, self.max_iter, self.b, self.layout.dc,
-            backend=self.backend, early_exit=self.early_exit,
-        )
+        hard = self._decode_llr(llr)
         return hard[0] if squeeze else hard

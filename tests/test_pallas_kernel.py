@@ -122,3 +122,38 @@ def test_qary_special_pallas_backend_matches_xla():
     with pltpu.force_tpu_interpret_mode():
         hp = np.asarray(dp.min_sum(ch_b, ch_s))
     assert (hx == hp).all()
+
+
+def test_qary_fused_backend_matches_xla():
+    """Fully-fused decode (backend='fused'): hard decisions equal the XLA
+    path on signed-QC and regular-identity geometries."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from sca_ldpc_tpu.codes import (
+        make_qary_qc_parity_check_matrix,
+        make_regular_ldpc_parity_check_matrix_identity,
+    )
+    from sca_ldpc_tpu.ops import QaryDecoder
+    from sca_ldpc_tpu.utils import make_random_state
+
+    rng = make_random_state(3)
+    H = make_qary_qc_parity_check_matrix(30, 4, 2, rng)
+    probs = np.random.RandomState(7).dirichlet(
+        np.ones(5), size=(5, H.shape[1])
+    ).astype(np.float32)
+    hx = np.asarray(QaryDecoder(H, 2, max_iter=4).min_sum(probs))
+    with pltpu.force_tpu_interpret_mode():
+        hf = np.asarray(QaryDecoder(H, 2, max_iter=4, backend="fused").min_sum(probs))
+    assert (hx == hf).all()
+
+    rng = make_random_state(1)
+    H2 = make_regular_ldpc_parity_check_matrix_identity(60, 30, 3, 6, rng).astype(np.int8)
+    probs2 = np.random.RandomState(9).dirichlet(
+        np.ones(15), size=(4, H2.shape[1])
+    ).astype(np.float32)
+    hx2 = np.asarray(QaryDecoder(H2, 7, max_iter=3).min_sum(probs2))
+    with pltpu.force_tpu_interpret_mode():
+        hf2 = np.asarray(
+            QaryDecoder(H2, 7, max_iter=3, backend="fused").min_sum(probs2)
+        )
+    assert (hx2 == hf2).all()
