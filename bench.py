@@ -195,10 +195,13 @@ def bench_kyber_decoder(batch=256, iters=10, steps=10):
     from sca_ldpc_tpu.channels.llr import probs_to_llr
     from sca_ldpc_tpu.models.kyber import gen_ldpc_matrix, get_decoder
     from sca_ldpc_tpu.ops import minplus
-    from sca_ldpc_tpu.ops.qary_special import _special_min_sum
+    from sca_ldpc_tpu.ops.kernels.qary_pallas import qary_special_min_sum_fused
+    from sca_ldpc_tpu.ops.qary import _signed
 
     H = gen_ldpc_matrix(6, 0, check_blocks=2)
-    dec = get_decoder(6, H, 2, iterations=iters, backend="pallas")
+    # Fully-fused two-alphabet decode (hard decisions equal the XLA path;
+    # tests/test_pallas_kernel.py).
+    dec = get_decoder(6, H, 2, iterations=iters, backend="fused")
     n_b, r = 768, 512
     ch_b = np.full((batch, n_b, 5), 0.02, np.float32)
     ch_b[:, :, 2] = 0.92
@@ -207,22 +210,23 @@ def bench_kyber_decoder(batch=256, iters=10, steps=10):
     llr_b = jnp.asarray(minplus.clip_inf(probs_to_llr(jnp.asarray(ch_b))))
     llr_s = jnp.asarray(minplus.clip_inf(probs_to_llr(jnp.asarray(ch_s))))
     llr_s_row = jnp.take(llr_s, jnp.asarray(dec._sum_var), axis=1)
+    fargs = dec._fused_args()
+    vsum = _signed(llr_s_row, jnp.asarray(dec._args[6], jnp.int32)[None, :])
 
     @partial(jax.jit, static_argnames=("steps",))
-    def loop(llr_b, llr_s_row, steps):
+    def loop(llr_b, llr_s_row, vsum, steps):
         def body(i, acc):
             x = llr_b.at[:, 0, 0].add(1e-6 * i)
-            hard = _special_min_sum(
-                *dec._args, x, llr_s_row, dec.max_iter, dec.b, dec.bsum,
-                dec.sw, backend=dec.backend,
+            hb, hs = qary_special_min_sum_fused(
+                x, llr_s_row, vsum, *fargs, dec.b, dec.bsum, dec.max_iter
             )
-            return acc + jnp.sum(jnp.abs(hard))
+            return acc + jnp.sum(jnp.abs(hb)) + jnp.sum(jnp.abs(hs))
         return jax.lax.fori_loop(0, steps, body, jnp.int32(0))
 
-    out = loop(llr_b, llr_s_row, steps)
+    out = loop(llr_b, llr_s_row, vsum, steps)
     jax.block_until_ready(out)
     t0 = time.time()
-    out = loop(llr_b, llr_s_row, steps)
+    out = loop(llr_b, llr_s_row, vsum, steps)
     jax.block_until_ready(out)
     dt = time.time() - t0
     ok = int(out) == 0

@@ -301,3 +301,171 @@ def qary_min_sum_fused(channel_llr, gt, gv, neg, pad, b_sup: int,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )(ch, gt, gv, neg, pad)
     return hard
+
+
+# ---------------------------------------------------------------------------
+# Fused two-alphabet decode (decoder_special.rs semantics): B-variable
+# messages iterate in VMEM; the degree-1 sum variables enter the check
+# update as a constant extra operand and get their totals from the full
+# in-check convolution.
+# ---------------------------------------------------------------------------
+
+
+def _make_fused_special_kernel(n_b, r, sw, qb, qs, b_sup, bsum, max_iter, tb):
+    s_mid = (2 * sw - 1) * b_sup
+    s_pre = b_sup + bsum  # combine-stage support before the extra conv
+
+    def cap(count):
+        return min(count * b_sup, s_pre + (sw - 1 - count) * b_sup, s_mid)
+
+    def kernel(ch_ref, chs_ref, vsum_ref, gt_ref, gv_ref, neg_ref, pad_ref,
+               sneg_ref, hardb_ref, hards_ref, v2c, totb, tots):
+        # ch: [QB, TB, NB]; chs: [QS, TB, R] (unsigned sum channel, row order)
+        # vsum: [QS, TB, R] (signed = the constant sum-var v2c message)
+        # gt: [SW, NB, R]; gv: [SW, R, NB]; neg/pad: [SW, 1, R]; sneg: [1, 1, R]
+        ch = ch_ref[...]
+        vsum = vsum_ref[...]
+        qi = jax.lax.broadcasted_iota(jnp.int32, (qb, 1, 1), 0)
+        delta = jnp.where(qi == b_sup, 0.0, BIG)
+
+        def signed(x, neg):
+            return neg * _flip_q(x) + (1.0 - neg) * x
+
+        def gather(total):
+            flat = total.reshape(qb * tb, n_b)
+            outs = []
+            for d in range(sw):
+                a = jnp.dot(flat, gt_ref[d], preferred_element_type=jnp.float32)
+                a = signed(a.reshape(qb, tb, r), neg_ref[d])
+                outs.append(a)
+            return outs
+
+        for d, a in enumerate(gather(ch)):
+            v2c[d] = pad_ref[d] * delta + (1.0 - pad_ref[d]) * a
+
+        def iteration(_i, carry):
+            x = v2c[...]  # [SW, QB, TB, R]
+            ident = jnp.zeros((1, tb, r), jnp.float32)
+            prefix = [ident]
+            for j in range(sw - 1):
+                prefix.append(_conv_planes(x[j], prefix[-1], cap(j + 1),
+                                           hb=j * b_sup))
+            suffix = [ident]
+            for j in range(sw - 1, 0, -1):
+                count = sw - j
+                suffix.append(_conv_planes(x[j], suffix[-1], cap(count),
+                                           hb=(count - 1) * b_sup))
+            suffix = suffix[::-1]
+
+            # sum-variable totals: full conv of ALL SW B-messages, reversed.
+            full = jnp.concatenate(
+                [jnp.full((bsum, tb, r), BIG), ident,
+                 jnp.full((bsum, tb, r), BIG)], axis=0)
+            for j in range(sw):
+                full = _conv_planes(x[j], full, bsum, hb=j * b_sup)
+            c2v_sum = jnp.minimum(_flip_q(full), BIG)
+            c2v_sum_u = sneg_ref[0] * _flip_q(c2v_sum) + (1.0 - sneg_ref[0]) * c2v_sum
+            tots[...] = chs_ref[...] + c2v_sum_u
+
+            us = []
+            for d in range(sw):
+                e = _conv_planes(prefix[d], suffix[d], s_pre,
+                                 ha=d * b_sup, hb=(sw - 1 - d) * b_sup)
+                e = _conv_planes(vsum, e, b_sup, ha=bsum, hb=s_pre)
+                c2v_d = jnp.minimum(_flip_q(e), BIG)
+                c2v_d = pad_ref[d] * delta + (1.0 - pad_ref[d]) * c2v_d
+                v2c[d] = c2v_d
+                u = signed(c2v_d, neg_ref[d])
+                us.append((1.0 - pad_ref[d]) * u)
+
+            total = ch
+            for d in range(sw):
+                total = total + jnp.dot(
+                    us[d].reshape(qb * tb, r), gv_ref[d],
+                    preferred_element_type=jnp.float32,
+                ).reshape(qb, tb, n_b)
+            totb[...] = total
+
+            for d, a in enumerate(gather(total)):
+                prim = a - v2c[d]
+                prim = prim - jnp.min(prim, axis=0, keepdims=True)
+                prim = jnp.minimum(prim, BIG)
+                v2c[d] = pad_ref[d] * delta + (1.0 - pad_ref[d]) * prim
+            return carry
+
+        jax.lax.fori_loop(0, max_iter, iteration, jnp.int32(0))
+
+        def argmin0(t, width, off):
+            best = t[0]
+            besti = jnp.zeros(t.shape[1:], jnp.int32)
+            for qq in range(1, width):
+                m = t[qq] < best
+                besti = jnp.where(m, qq, besti)
+                best = jnp.where(m, t[qq], best)
+            return besti - off
+
+        hardb_ref[...] = argmin0(totb[...], qb, b_sup)
+        hards_ref[...] = argmin0(tots[...], qs, bsum)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("b_sup", "bsum", "max_iter", "tb"))
+def qary_special_min_sum_fused(channel_llr, channel_sum_row, vsum_signed,
+                               gt, gv, neg, pad, sneg,
+                               b_sup: int, bsum: int, max_iter: int,
+                               tb: int = 8):
+    """Fused two-alphabet decode.  ``channel_llr``: [Bt, NB, QB];
+    ``channel_sum_row``/``vsum_signed``: [Bt, R, QS] (row-ordered unsigned
+    channel and its signed form); adjacency as in qary_min_sum_fused plus
+    ``sneg`` [1, 1, R].  Returns (hard_b [Bt, NB], hard_sum_row [Bt, R])."""
+    bt0 = channel_llr.shape[0]
+    if bt0 % tb:
+        pad_bt = tb - bt0 % tb
+        z = lambda a: jnp.concatenate(
+            [a, jnp.zeros((pad_bt,) + a.shape[1:], a.dtype)], axis=0)
+        hb, hs = qary_special_min_sum_fused(
+            z(channel_llr), z(channel_sum_row), z(vsum_signed),
+            gt, gv, neg, pad, sneg, b_sup, bsum, max_iter, tb)
+        return hb[:bt0], hs[:bt0]
+    bt, n_b, qb = channel_llr.shape
+    r = channel_sum_row.shape[1]
+    qs = channel_sum_row.shape[2]
+    sw = gt.shape[0]
+
+    ch = jnp.transpose(channel_llr, (2, 0, 1))      # [QB, Bt, NB]
+    chs = jnp.transpose(channel_sum_row, (2, 0, 1))  # [QS, Bt, R]
+    vs = jnp.transpose(vsum_signed, (2, 0, 1))       # [QS, Bt, R]
+
+    kernel = _make_fused_special_kernel(
+        n_b, r, sw, qb, qs, b_sup, bsum, max_iter, tb
+    )
+    hard_b, hard_s = pl.pallas_call(
+        kernel,
+        grid=(bt // tb,),
+        in_specs=[
+            pl.BlockSpec((qb, tb, n_b), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qs, tb, r), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qs, tb, r), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((sw, n_b, r), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((sw, r, n_b), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((sw, 1, r), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((sw, 1, r), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, r), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tb, n_b), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, r), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bt, n_b), jnp.int32),
+            jax.ShapeDtypeStruct((bt, r), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((sw, qb, tb, r), jnp.float32),
+            pltpu.VMEM((qb, tb, n_b), jnp.float32),
+            pltpu.VMEM((qs, tb, r), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(ch, chs, vs, gt, gv, neg, pad, sneg)
+    return hard_b, hard_s

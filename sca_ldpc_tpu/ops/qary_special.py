@@ -178,6 +178,9 @@ class QarySpecialDecoder:
         self.b, self.bsum, self.max_iter = int(b), int(bsum), int(max_iter)
         self.backend = backend
         self.early_exit = bool(early_exit)
+        if backend == "fused" and self.early_exit:
+            raise ValueError("backend='fused' runs fixed iterations in-kernel")
+        self._fused = None
         self.n, self.r, self.n_b = n, r, n_b
 
         rows, cols = np.nonzero(H)
@@ -249,8 +252,48 @@ class QarySpecialDecoder:
         llr_s = minplus.clip_inf(probs_to_llr(p_s))
         # Order sum-variable channels by serving row.
         llr_s_row = jnp.take(llr_s, jnp.asarray(self._sum_var), axis=1)
-        hard = _special_min_sum(
-            *self._args, llr_b, llr_s_row, self.max_iter, self.b, self.bsum,
-            self.sw, backend=self.backend, early_exit=self.early_exit,
-        )
+        if self.backend == "fused":
+            from .kernels.qary_pallas import qary_special_min_sum_fused
+
+            gt, gv, neg, pad, sneg = self._fused_args()
+            vsum = _signed(
+                llr_s_row, jnp.asarray(self._args[6], jnp.int32)[None, :]
+            )
+            hard_b, hard_s_row = qary_special_min_sum_fused(
+                llr_b, llr_s_row, vsum, gt, gv, neg, pad, sneg,
+                self.b, self.bsum, self.max_iter,
+            )
+            hard_sum = jnp.take(hard_s_row, jnp.asarray(self._args[7]), axis=1)
+            hard = jnp.concatenate([hard_b, hard_sum], axis=1)
+        else:
+            hard = _special_min_sum(
+                *self._args, llr_b, llr_s_row, self.max_iter, self.b, self.bsum,
+                self.sw, backend=self.backend, early_exit=self.early_exit,
+            )
         return hard[0] if squeeze else hard
+
+    def _fused_args(self):
+        """One-hot adjacency arrays for the fused kernel (cached)."""
+        if self._fused is None:
+            bvar_idx, bvar_sign, bvar_mask = (
+                np.asarray(self._args[0]),
+                np.asarray(self._args[1]),
+                np.asarray(self._args[2]),
+            )
+            sum_sign = np.asarray(self._args[6])
+            r, sw = bvar_idx.shape
+            gt = np.zeros((sw, self.n_b, r), np.float32)
+            neg = np.zeros((sw, 1, r), np.float32)
+            pad = np.ones((sw, 1, r), np.float32)
+            for i in range(r):
+                for d in range(sw):
+                    if bvar_mask[i, d]:
+                        gt[d, bvar_idx[i, d], i] = 1.0
+                        neg[d, 0, i] = 1.0 if bvar_sign[i, d] < 0 else 0.0
+                        pad[d, 0, i] = 0.0
+            gv = np.ascontiguousarray(np.transpose(gt, (0, 2, 1)))
+            sneg = (sum_sign < 0).astype(np.float32).reshape(1, 1, r)
+            self._fused = tuple(
+                jnp.asarray(a) for a in (gt, gv, neg, pad, sneg)
+            )
+        return self._fused

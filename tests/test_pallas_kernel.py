@@ -157,3 +157,23 @@ def test_qary_fused_backend_matches_xla():
             QaryDecoder(H2, 7, max_iter=3, backend="fused").min_sum(probs2)
         )
     assert (hx2 == hf2).all()
+
+
+def test_qary_special_fused_backend_matches_xla():
+    from jax.experimental.pallas import tpu as pltpu
+
+    from sca_ldpc_tpu.models.kyber import gen_ldpc_matrix
+    from sca_ldpc_tpu.ops import QarySpecialDecoder
+
+    H = gen_ldpc_matrix(6, 0, check_blocks=1)
+    rng = np.random.RandomState(11)
+    ch_b = rng.dirichlet(np.ones(5), size=(3, 768)).astype(np.float32)
+    ch_s = rng.dirichlet(np.ones(25), size=(3, 256)).astype(np.float32)
+    hx = np.asarray(QarySpecialDecoder(H, 2, 12, max_iter=3).min_sum(ch_b, ch_s))
+    with pltpu.force_tpu_interpret_mode():
+        hf = np.asarray(
+            QarySpecialDecoder(H, 2, 12, max_iter=3, backend="fused").min_sum(
+                ch_b, ch_s
+            )
+        )
+    assert (hx == hf).all()
