@@ -420,6 +420,18 @@ static void rs_encode(int ver, const uint8_t* msg /* k */, uint8_t* cw /* n1 */)
   for (int i = 0; i < p.k; i++) cw[twod + i] = msg[i];
 }
 
+static void rs_syndromes(int ver, const uint8_t* cw, uint8_t* synd) {
+  gf_init();
+  const HqcParams& p = P(ver);
+  const int twod = 2 * p.delta;
+  for (int i = 0; i < twod; i++) {
+    uint8_t s = 0;
+    for (int j = 0; j < p.n1; j++)
+      if (cw[j]) s ^= GF_EXP[(GF_LOG[cw[j]] + (i + 1) * j) % 255];
+    synd[i] = s;
+  }
+}
+
 // Bounded-distance RS decode (syndromes + Berlekamp-Massey + Chien + Forney).
 // Returns 0 on success (<= delta errors corrected), -1 on failure.
 static int rs_decode(int ver, uint8_t* cw /* n1, corrected in place */) {
@@ -824,14 +836,20 @@ static void decrypt_core(int ver, const uint8_t* ct, const uint8_t* sk,
   memcpy(rs_cw, rm_symbols, (size_t)P(ver).n1);
   int ok = rs_decode(ver, rs_cw);
   const HqcParams& p = P(ver);
-  if (ok == 0) {
-    // systematic: message in high positions
-    memcpy(m_out, rs_cw + 2 * p.delta, (size_t)p.k);
-  } else {
-    // decoding failure: deterministic garbage (hash of the input), so
-    // pt' != pt with overwhelming probability, like a real miscorrection
-    shake256(m_out, (size_t)p.k, (const uint8_t*)trunc, (size_t)n1n2_bytes(ver),
-             0x07);
+  // systematic: message in high positions (always extracted — a real RS
+  // decoder has no separate failure path; it just emits a miscorrected
+  // word).  On bounded-distance failure, fold the (nonzero) syndrome
+  // bytes in as the deterministic miscorrection: O(k) xors, so the decode
+  // path's timing stays flat and the decaps timing channel remains the
+  // re-encryption rejection sampling (hqc.rs:175-200's leak) — an earlier
+  // SHAKE-on-failure branch here cost ~450k cycles and INVERTED it.
+  memcpy(m_out, rs_cw + 2 * p.delta, (size_t)p.k);
+  if (ok != 0) {
+    const int twod = 2 * p.delta;
+    uint8_t synd[2 * 64];
+    rs_syndromes(ver, rs_cw, synd);
+    for (int i = 0; i < p.k; i++)
+      m_out[i] ^= synd[(2 * i) % twod] ^ synd[(2 * i + 1) % twod] ^ 0x5A;
   }
 }
 
