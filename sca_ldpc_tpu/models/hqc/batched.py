@@ -107,11 +107,15 @@ class BatchedDecodeExecutor:
             for tid, _ in items:
                 self._results[tid] = e
 
-    def _execute(self, items):
+    def _target_shape(self, items):
         from .attack import _bucket
 
         r_pad = max(_bucket(len(checks)) for _tid, (_d, _t, checks, _y) in items)
         dv = max(dec.needed_dv() for _tid, (dec, _t, _c, _y) in items)
+        return r_pad, dv
+
+    def _execute(self, items):
+        r_pad, dv = self._target_shape(items)
         builds = [
             (tid, dec, tr, checks, y, *dec.build_arrays(checks, y, r_pad=r_pad, dv=dv))
             for tid, (dec, tr, checks, y) in items
@@ -127,6 +131,29 @@ class BatchedDecodeExecutor:
         )
         for i, (tid, dec, tr, checks, y, *_rest) in enumerate(builds):
             self._results[tid] = dec.stats_from_decoded(tr, decoded[i], checks, y)
+
+
+class BatchedPaddedDecodeExecutor(BatchedDecodeExecutor):
+    """Barrier batcher with PERSISTENT capacities: the padded check count
+    and variable-degree cap only grow (doubling) across batched calls, so
+    the whole multi-instance attack compiles the vmapped decode once per
+    capacity level instead of once per 256-check bucket
+    (BatchedDecodeExecutor).  Batched counterpart of PaddedCheckDecoder."""
+
+    def __init__(self, num_instances, max_iter=100, method="product_sum",
+                 r_cap=4096, dv_cap=16):
+        super().__init__(num_instances, max_iter, method)
+        self.r_cap = int(r_cap)
+        self.dv_cap = int(dv_cap)
+
+    def _target_shape(self, items):
+        r = max(len(checks) for _tid, (_d, _t, checks, _y) in items)
+        while r > self.r_cap:
+            self.r_cap *= 2
+        dv = max(dec.needed_dv() for _tid, (dec, _t, _c, _y) in items)
+        while dv > self.dv_cap:
+            self.dv_cap *= 2
+        return self.r_cap, self.dv_cap
 
 
 class BatchedCirculantDecodeExecutor(BatchedDecodeExecutor):
@@ -188,11 +215,15 @@ def simulate_hqc_attacks_batched(
 
     Each instance attacks its own random key.  Returns a list of
     (success, tracking) in seed order.  ``decode_backend="circulant"``
-    batches single-compile-shape masked full-circulant decodes (the TPU
-    path); "general" batches bucketed checks-only decodes.
+    batches single-compile-shape masked full-circulant decodes; "padded"
+    batches checks-only decodes at a persistent fixed capacity (one compile
+    shape, the fastest TPU path); "general" batches bucketed checks-only
+    decodes.
     """
     if decode_backend == "circulant":
         executor = BatchedCirculantDecodeExecutor(len(seeds))
+    elif decode_backend == "padded":
+        executor = BatchedPaddedDecodeExecutor(len(seeds))
     elif decode_backend == "general":
         executor = BatchedDecodeExecutor(len(seeds))
     else:

@@ -82,18 +82,12 @@ def _bp_decode_syndrome(
     r = chk_var.shape[0]
     n = var_flat.shape[0]
     b = syndrome.shape[0]
-    flat_size = r * dc + 1
 
     prior = jnp.broadcast_to(jnp.asarray(prior_llr, jnp.float32), (b, n))
     sign_flip = (1.0 - 2.0 * syndrome.astype(jnp.float32))  # [B, R]
 
     prior_pad = jnp.concatenate([prior, jnp.zeros((b, 1), jnp.float32)], axis=-1)
     v2c0 = jnp.take(prior_pad, chk_var.reshape(-1), axis=-1).reshape(b, r, dc)
-
-    def scatter_var_to_chk(vals):  # [B, N, DV] -> [B, R, DC]
-        flat = jnp.zeros((b, flat_size), jnp.float32)
-        flat = flat.at[:, var_flat.reshape(-1)].set(vals.reshape(b, -1), mode="drop")
-        return flat[:, : r * dc].reshape(b, r, dc)
 
     def hard_and_syndrome(total):  # total: [B, N] posterior LLR
         e_hat = (total < 0).astype(jnp.int32)
@@ -114,8 +108,13 @@ def _bp_decode_syndrome(
         )
         c2v_var = jnp.where(var_mask, c2v_var, 0.0)
         total = prior + jnp.sum(c2v_var, axis=-1)
-        v2c_var = jnp.clip(total[..., None] - c2v_var, -_BIG, _BIG)
-        v2c_new = scatter_var_to_chk(v2c_var)
+        # Check-side extrinsic: v2c[r,j] = total[chk_var[r,j]] - c2v[r,j].
+        # Same per-edge arithmetic as subtracting variable-side and scattering
+        # back check-major, but with a gather instead of a scatter (TPU
+        # scatters serialize; cf. the q-ary decoder's identical optimization).
+        total_pad = jnp.concatenate([total, jnp.zeros((b, 1), jnp.float32)], axis=-1)
+        tot_chk = jnp.take(total_pad, chk_var.reshape(-1), axis=-1).reshape(b, r, dc)
+        v2c_new = jnp.clip(tot_chk - c2v, -_BIG, _BIG)
 
         e_hat, ok = hard_and_syndrome(total)
         e_out = jnp.where(conv[:, None], e_out, e_hat)  # latch first converged estimate

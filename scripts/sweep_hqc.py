@@ -43,11 +43,12 @@ def main():
     ap.add_argument("--max-oracle-calls", type=int, default=None)
     ap.add_argument("--oracle-backend", default="fast", choices=["fast", "native"])
     ap.add_argument("--decode-backend", default="general",
-                    choices=["general", "circulant"],
-                    help="'circulant' = single-compile-shape masked "
-                         "full-circulant decode; combine with "
-                         "--platform default to decode on the TPU "
-                         "(one compile serves the whole sweep)")
+                    choices=["general", "padded", "circulant"],
+                    help="'padded' = checks-only decode at a fixed "
+                         "capacity (one compile shape); 'circulant' = "
+                         "single-compile-shape masked full-circulant "
+                         "decode; combine either with --platform default "
+                         "to decode on the TPU")
     ap.add_argument("--state-dir", default=None,
                     help="resume-marker directory (default: <csv>.state)")
     ap.add_argument("--platform", default="cpu", choices=["cpu", "default"],

@@ -19,6 +19,22 @@ def test_two_instances_batched_decode():
 
 
 @pytest.mark.slow
+def test_two_instances_batched_padded_decode():
+    """Fixed-capacity batched decodes: one compile shape for the whole
+    multi-instance attack (BatchedPaddedDecodeExecutor)."""
+    results, batched_calls = simulate_hqc_attacks_batched(
+        [101, 202], decode_every=100, weight=20, max_oracle_calls=60000,
+        decode_backend="padded",
+    )
+    assert len(results) == 2
+    for ok, tracking in results:
+        assert ok, "instance failed to recover its key"
+        assert tracking.decoder_stats[-1]["success"]
+        assert tracking.decoder_stats[-1]["bad_flips"] == 0
+    assert batched_calls >= 1
+
+
+@pytest.mark.slow
 def test_two_instances_batched_circulant_decode():
     """Masked full-circulant batched decodes: all instances share one
     compiled (N, P, W) program regardless of their random circulants."""

@@ -152,6 +152,82 @@ def test_multi_plaintext_decode_masked_circulant():
     assert ok
 
 
+def test_toy_decode_padded():
+    """PaddedCheckDecoder produces stats identical to the bucketed general
+    decoder on the same check set (the fixed-capacity padding rows must be
+    inert)."""
+    from sca_ldpc_tpu.models.hqc.attack import PaddedCheckDecoder
+
+    params = HqcSimulationParams(Hqc128, None, None, None, WEIGHT=3, N_OVERRIDE=20)
+    rng = make_random_state(0)
+    y_sparse = [4, 5, 7, 9]
+    Hgen = make_random_ldpc_parity_check_matrix(params.N, params.WEIGHT, rng)
+    shifts = np.flatnonzero(Hgen[0])
+    y_times_r1 = sparse_times_sparse(
+        sorted(y_sparse), [int(i) for i in shifts], params.N
+    )
+
+    tracking = HqcSimulationTracking(params)
+    decoder = PaddedCheckDecoder(params, r_cap=64, dv_cap=4)
+    checks = []
+    for bit_n in range(params.N):
+        add_check(
+            decoder, shifts, checks, y_times_r1, bit_n,
+            bit_n in y_times_r1, certainty=1.0,
+        )
+    ok = decoder.decode(tracking, checks, sorted(y_sparse))
+    assert ok
+    _ok_g, tracking_g = _run_decode(params, Hgen[0], y_sparse, only_ones=False)
+    assert tracking.decoder_stats[-1] == tracking_g.decoder_stats[-1]
+
+
+def test_padded_decoder_capacity_doubling():
+    """Check counts beyond the initial capacity double it (rare recompile)
+    instead of failing."""
+    from sca_ldpc_tpu.models.hqc.attack import PaddedCheckDecoder
+
+    params = HqcSimulationParams(Hqc128, None, None, None, WEIGHT=3, N_OVERRIDE=20)
+    rng = make_random_state(0)
+    y_sparse = [4, 5, 7, 9]
+    Hgen = make_random_ldpc_parity_check_matrix(params.N, params.WEIGHT, rng)
+    shifts = np.flatnonzero(Hgen[0])
+    y_times_r1 = sparse_times_sparse(
+        sorted(y_sparse), [int(i) for i in shifts], params.N
+    )
+
+    tracking = HqcSimulationTracking(params)
+    decoder = PaddedCheckDecoder(params, r_cap=8, dv_cap=1)
+    checks = []
+    for bit_n in range(params.N):
+        add_check(
+            decoder, shifts, checks, y_times_r1, bit_n,
+            bit_n in y_times_r1, certainty=1.0,
+        )
+    assert len(checks) > 8
+    ok = decoder.decode(tracking, checks, sorted(y_sparse))
+    assert ok
+    assert decoder.r_cap >= len(checks)
+    assert decoder.dv_cap >= decoder.needed_dv()
+
+
+def test_attack_end_to_end_padded_backend():
+    """Full HQC-128 key recovery with the fixed-capacity decoder."""
+    from sca_ldpc_tpu.models.hqc import simulate_hqc_idealized_oracle
+
+    ok, tracking = simulate_hqc_idealized_oracle(
+        make_random_state(0),
+        decode_every=50,
+        weight=20,
+        keyfile="fixtures/test-hqc128.key",
+        error_rate=0.0,
+        param_set="128",
+        max_oracle_calls=60000,
+        decode_backend="padded",
+    )
+    assert ok
+    assert tracking.decoder_stats[-1]["success"]
+
+
 def test_attack_end_to_end_circulant_backend():
     """Full HQC-128 key recovery with the single-compile-shape decoder."""
     from sca_ldpc_tpu.models.hqc import simulate_hqc_idealized_oracle
