@@ -100,7 +100,7 @@ def bench_cpu(lay, probs, error_rate, frames=4, max_iter=30, seed=0):
 # ---------------------------------------------------------------------------
 
 
-def bench_tpu(lay, probs, batch=1024, steps=20, max_iter=30,
+def bench_tpu(lay, probs, batch=4096, steps=20, max_iter=30,
               method="product_sum"):
     """Fused Pallas decode, measured as `steps` full simulation steps
     (sample -> syndrome -> decode -> compare) inside ONE jitted dispatch —
@@ -244,7 +244,7 @@ def main():
     print(f"# cpu reference: {cpu_fps:.2f} frames/s, success {cpu_success:.3f}",
           file=sys.stderr)
 
-    tpu_fps, tpu_success = bench_tpu(lay, probs, batch=1024, steps=20,
+    tpu_fps, tpu_success = bench_tpu(lay, probs, batch=4096, steps=20,
                                      max_iter=max_iter)
     print(f"# tpu: {tpu_fps:.1f} frames/s/chip, success {tpu_success:.4f}",
           file=sys.stderr)

