@@ -234,6 +234,9 @@ def bench_kyber_decoder(batch=256, iters=10, steps=10):
 
 
 def main():
+    from sca_ldpc_tpu.utils import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     full = "--full" in sys.argv
     error_rate = 0.01
     max_iter = 30

@@ -205,6 +205,9 @@ class Commands(CommandsBase):
 
 
 def main():
+    from ..utils import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     cmds = Commands()
     args = cmds.parse_arguments()
     cmds.run(args)

@@ -68,7 +68,12 @@ def main():
     logging.getLogger("sca_ldpc_tpu").setLevel(logging.WARNING)
 
     from sca_ldpc_tpu.models.hqc import simulate_hqc_idealized_oracle
-    from sca_ldpc_tpu.utils import make_random_state
+    from sca_ldpc_tpu.utils import (
+        enable_persistent_compilation_cache,
+        make_random_state,
+    )
+
+    enable_persistent_compilation_cache()
 
     state_dir = args.state_dir or (args.csv + ".state")
     os.makedirs(state_dir, exist_ok=True)

@@ -53,3 +53,21 @@ def test_view_hqc_oracle_accuracy():
     finally:
         if os.path.exists(png):
             os.remove(png)
+
+
+def test_persistent_compilation_cache_util(tmp_path, monkeypatch):
+    import jax
+
+    from sca_ldpc_tpu.utils import enable_persistent_compilation_cache
+
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        d = enable_persistent_compilation_cache(cache_dir=str(tmp_path / "c"))
+        assert d == str(tmp_path / "c")
+        assert jax.config.jax_compilation_cache_dir == d
+        # opt-out env var disables without touching config
+        monkeypatch.setenv("SCA_LDPC_NO_JAX_CACHE", "1")
+        assert enable_persistent_compilation_cache(cache_dir=str(tmp_path / "x")) is None
+        assert jax.config.jax_compilation_cache_dir == d
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
