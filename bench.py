@@ -135,7 +135,7 @@ def bench_tpu(lay, probs, batch=4096, steps=20, max_iter=30,
     return steps * batch / dt, int(out) / (steps * batch)
 
 
-def bench_qary_medium(batch=512, iters=10, steps=10):
+def bench_qary_medium(batch=4096, iters=10, steps=10):
     """Criterion 'medium decoder' equivalent (benches/decoder.rs:66-92):
     N=450 R=150 DV=3 DC=7 B=7 Q=15, 10 iterations — batched, measured as
     `steps` decodes of the batch inside ONE jitted fori_loop dispatch (the
@@ -184,7 +184,7 @@ def bench_qary_medium(batch=512, iters=10, steps=10):
     return steps * batch / dt, ok
 
 
-def bench_kyber_decoder(batch=256, iters=10, steps=10):
+def bench_kyber_decoder(batch=4096, iters=10, steps=10):
     """Kyber-768 production decoder (DecoderN1280R512SW6 equivalent,
     lib.rs:65-75) — batched two-alphabet min-sum, in-dispatch loop timing."""
     from functools import partial
