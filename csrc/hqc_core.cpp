@@ -307,15 +307,45 @@ static void ring_add(int ver, uint64_t* acc, const uint64_t* b) {
   for (int i = 0; i < w; i++) acc[i] ^= b[i];
 }
 
-// acc ^= dense << shift  (cyclic over n bits)
-static void ring_xor_shifted(int ver, uint64_t* acc, const uint64_t* dense,
-                             uint32_t shift) {
+// acc2 (>= 2w+2 words) ^= dense << shift, NO modular fold.  Word-granular:
+// constant-time in the data (the decaps timing channel must stay the SHAKE
+// rejection-sampling expansion count, not ring-arithmetic bit patterns).
+static void xor_shifted_raw(int w, uint64_t* acc2, const uint64_t* dense,
+                            uint32_t shift) {
+  const int word_shift = (int)(shift / 64);
+  const int bit_shift = (int)(shift % 64);
+  if (bit_shift == 0) {
+    for (int i = 0; i < w; i++) acc2[i + word_shift] ^= dense[i];
+  } else {
+    for (int i = 0; i < w; i++) {
+      acc2[i + word_shift] ^= dense[i] << bit_shift;
+      acc2[i + word_shift + 1] ^= dense[i] >> (64 - bit_shift);
+    }
+  }
+}
+
+// out = tmp mod (x^n - 1), tmp holding a < 2n-bit polynomial (2w+2 words).
+// Bits [n, 2n) fold onto [0, n): one word-wise shifted XOR.
+static void ring_fold(int ver, uint64_t* out, const uint64_t* tmp) {
   const int nbits = P(ver).n;
   const int w = n_words(ver);
-  // Shift dense left by `shift` mod x^n - 1: bit i of dense lands at (i+shift)%n.
-  const int word_shift = shift / 64;
-  const int bit_shift = shift % 64;
-  // Work into a 2w temporary, then fold the overflow (bits >= n) back.
+  const int W = nbits / 64;
+  const int s = nbits % 64;
+  for (int i = 0; i < w; i++) out[i] = tmp[i];
+  if (s == 0) {
+    for (int i = 0; i < w; i++) out[i] ^= tmp[W + i];
+  } else {
+    for (int i = 0; i < w; i++)
+      out[i] ^= (tmp[W + i] >> s) | (tmp[W + i + 1] << (64 - s));
+    out[W] &= ((~0ULL) >> (64 - s));  // clear bits >= n
+  }
+}
+
+// out = sparse * dense (cyclic product; sparse given as positions):
+// accumulate every shifted copy into a double-width scratch, fold once.
+static void ring_mul_sparse(int ver, uint64_t* out, const uint32_t* sparse,
+                            int weight, const uint64_t* dense) {
+  const int w = n_words(ver);
   static thread_local uint64_t* tmp = nullptr;
   static thread_local int tmp_cap = 0;
   if (tmp_cap < 2 * w + 2) {
@@ -323,35 +353,8 @@ static void ring_xor_shifted(int ver, uint64_t* acc, const uint64_t* dense,
     tmp_cap = 2 * w + 2;
   }
   memset(tmp, 0, sizeof(uint64_t) * (2 * w + 2));
-  for (int i = 0; i < w; i++) {
-    uint64_t lo = bit_shift ? (dense[i] << bit_shift) : dense[i];
-    tmp[i + word_shift] ^= lo;
-    if (bit_shift) tmp[i + word_shift + 1] ^= dense[i] >> (64 - bit_shift);
-  }
-  // Fold bits >= n back to position (bit - n).
-  for (int i = 0; i < 2 * w + 2; i++) {
-    if (tmp[i] == 0) continue;
-    int base = i * 64;
-    if (base + 63 < nbits) {
-      acc[i] ^= tmp[i];
-      continue;
-    }
-    uint64_t word = tmp[i];
-    while (word) {
-      int b = __builtin_ctzll(word);
-      word &= word - 1;
-      int bit = base + b;
-      if (bit >= nbits) bit -= nbits;
-      acc[bit / 64] ^= (1ULL << (bit % 64));
-    }
-  }
-}
-
-// out = sparse * dense (cyclic product; sparse given as positions)
-static void ring_mul_sparse(int ver, uint64_t* out, const uint32_t* sparse,
-                            int weight, const uint64_t* dense) {
-  memset(out, 0, (size_t)n_words(ver) * 8);
-  for (int i = 0; i < weight; i++) ring_xor_shifted(ver, out, dense, sparse[i]);
+  for (int i = 0; i < weight; i++) xor_shifted_raw(w, tmp, dense, sparse[i]);
+  ring_fold(ver, out, tmp);
 }
 
 static inline int get_bit(const uint64_t* v, int i) {
