@@ -65,6 +65,19 @@ class Commands(CommandsBase):
                                  "'circulant' = full circulant with measured-row "
                                  "mask, one compile shape per plaintext count "
                                  "(fastest on TPU)")
+        parser.add_argument("--trials", type=int, default=1000,
+                            help="hqc_eval_oracle: trials per measurement count")
+        parser.add_argument("--reduced-trials", type=int, default=None,
+                            help="hqc_eval_oracle: fewer trials for measurement counts "
+                                 ">= 2**reduced-from-log2 (accuracy saturates there)")
+        parser.add_argument("--reduced-from-log2", type=int, default=13,
+                            help="hqc_eval_oracle: level where --reduced-trials kicks in")
+        parser.add_argument("--max-log2-measurements", type=int, default=18,
+                            help="hqc_eval_oracle: sweep measurement counts 2^0..2^(max-1)")
+        parser.add_argument("--profile-log2", type=int, default=16,
+                            help="hqc_eval_oracle: measurements per profiling phase (log2)")
+        parser.add_argument("--state-file", type=str,
+                            help="hqc_eval_oracle: JSON checkpoint for resumable sweeps")
         error_group = parser.add_mutually_exclusive_group(required=False)
         error_group.add_argument("--error-rate", type=float, default=0.00,
                                  help="Error rate of the simulated binary symmetric channel; "
@@ -95,12 +108,34 @@ class Commands(CommandsBase):
         from ..models.hqc.eval_oracle import hqc_eval_oracle
 
         rng = make_random_state(args.seed)
-        hqc_eval_oracle(rng, keyfile=args.key_file)
+        results = hqc_eval_oracle(
+            rng, keyfile=args.key_file,
+            num_trials=args.trials,
+            max_log2_measurements=args.max_log2_measurements,
+            profile_measurements=2**args.profile_log2,
+            reduced_trials=args.reduced_trials,
+            reduced_from_log2=args.reduced_from_log2,
+            state_file=args.state_file,
+        )
+        if args.csv_output:
+            import pandas as pd
+
+            df = pd.DataFrame(
+                [{"measurements": m, "accuracy": a} for m, a in sorted(results.items())]
+            )
+            df.to_csv(args.csv_output, index=False)
+            logger.info(f"Accuracy curve written to {args.csv_output}")
 
     def command_view_hqc_oracle_accuracy(self, args):
         from ..viz import view_hqc_oracle_accuracy
 
-        view_hqc_oracle_accuracy()
+        measured = None
+        if args.csv_output and exists(args.csv_output):
+            import pandas as pd
+
+            df = pd.read_csv(args.csv_output)
+            measured = dict(zip(df["measurements"], df["accuracy"]))
+        view_hqc_oracle_accuracy(measured=measured)
 
     def command_view_hqc_simulation_csv(self, args):
         from ..viz import view_hqc_simulation_csv

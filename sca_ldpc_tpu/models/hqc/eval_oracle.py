@@ -7,7 +7,9 @@ modified vs unmodified ciphertexts, derives a threshold, then sweeps oracle
 accuracy against the number of measurements.
 """
 
+import json
 import logging
+import os
 
 from .attack import (
     read_or_generate_keypair,
@@ -65,50 +67,103 @@ def profiling_oracle(HQC, rng, pub, priv, why, mod, num_profiles=4, measurements
             return sum(profs) / len(profs)
 
 
+def _load_state(state_file):
+    if state_file and os.path.exists(state_file):
+        with open(state_file) as f:
+            return json.load(f)
+    return {}
+
+
+def _save_state(state_file, state):
+    if not state_file:
+        return
+    tmp = state_file + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(state, f)
+    os.replace(tmp, state_file)
+
+
 def hqc_eval_oracle(
     rng,
     keyfile=None,
     num_trials=1000,
     max_log2_measurements=18,
     profile_measurements=2**16,
+    reduced_trials=None,
+    reduced_from_log2=13,
+    state_file=None,
+    checkpoint_every=50,
 ):
-    """Full oracle-accuracy evaluation; returns {measurements: accuracy}."""
+    """Full oracle-accuracy evaluation; returns {measurements: accuracy}.
+
+    Long runs (the reference sweeps to 2^17 measurements x 1000 trials,
+    hqc_eval_oracle.py:94-112) are made practical by:
+
+    - ``reduced_trials``/``reduced_from_log2``: measurement counts at or
+      above 2**reduced_from_log2 use the (smaller) reduced trial count —
+      accuracy there saturates near 1, so fewer trials lose little precision.
+    - ``state_file``: JSON checkpoint holding the profiling threshold and
+      per-level partial tallies; a restarted run resumes mid-level.  The
+      threshold is only reusable with the same ``keyfile`` keypair.
+    """
     HQC = Hqc128()
     measurements_list = [2**x for x in range(max_log2_measurements)]
 
     pub, priv = read_or_generate_keypair(HQC, keyfile)
 
-    profiling_oracle(HQC, rng, pub, priv, "warmup", False, num_profiles=1,
-                     measurements=profile_measurements)
+    state = _load_state(state_file)
+    if "threshold" in state:
+        threshold = state["threshold"]
+        logger.info(f"Resuming with checkpointed threshold: {threshold}")
+    else:
+        profiling_oracle(HQC, rng, pub, priv, "warmup", False, num_profiles=1,
+                         measurements=profile_measurements)
 
-    profiling_diff = 0
-    while profiling_diff <= 0:
-        t_nmod = profiling_oracle(HQC, rng, pub, priv, "profile phase 1", False,
-                                  measurements=profile_measurements)
-        logger.info(f"Profiling result (nmod): {t_nmod}")
-        t_ymod = profiling_oracle(HQC, rng, pub, priv, "profile phase 2", True,
-                                  measurements=profile_measurements)
-        logger.info(f"Profiling result (ymod): {t_ymod}")
-        profiling_diff = t_nmod - t_ymod
-        logger.info(f"Profiling diff nmod - ymod: {profiling_diff}")
+        profiling_diff = 0
+        while profiling_diff <= 0:
+            t_nmod = profiling_oracle(HQC, rng, pub, priv, "profile phase 1",
+                                      False, measurements=profile_measurements)
+            logger.info(f"Profiling result (nmod): {t_nmod}")
+            t_ymod = profiling_oracle(HQC, rng, pub, priv, "profile phase 2",
+                                      True, measurements=profile_measurements)
+            logger.info(f"Profiling result (ymod): {t_ymod}")
+            profiling_diff = t_nmod - t_ymod
+            logger.info(f"Profiling diff nmod - ymod: {profiling_diff}")
 
-    threshold = t_nmod - profiling_diff / 2
-    logger.info(f"Profiling threshold: {threshold}")
+        threshold = t_nmod - profiling_diff / 2
+        logger.info(f"Profiling threshold: {threshold}")
+        state = {"threshold": threshold, "t_nmod": t_nmod, "t_ymod": t_ymod,
+                 "profile_measurements": profile_measurements, "levels": {}}
+        _save_state(state_file, state)
+
+    levels = state.setdefault("levels", {})
 
     pt = search_distinguishable_plaintext(HQC, rng)
     ctnmod, _ = HQC.encaps_with_plaintext_and_r1(pub, pt, [])
 
     results = {}
-    for measure in measurements_list:
-        correct = []
-        for _trial in range(num_trials):
+    for log2m, measure in enumerate(measurements_list):
+        target = num_trials
+        if reduced_trials is not None and log2m >= reduced_from_log2:
+            target = reduced_trials
+        lev = levels.setdefault(str(measure), {"done": 0, "correct": 0.0,
+                                               "counted": 0})
+        # Checkpoint roughly every ~2^17 decapsulations, at least every
+        # `checkpoint_every` trials.
+        ckpt = max(1, min(checkpoint_every, 2**17 // measure))
+        while lev["done"] < target:
             ctymod = modify_beyond_correction_limit(HQC, rng, ctnmod)
             t = oracle(HQC, ctymod, priv, measure)
-            if t is None:
-                continue
-            decision = t >= threshold
-            correct.append(float(decision == False))  # noqa: E712 — expected False
-        acc = sum(correct) / len(correct) if correct else 0.0
+            lev["done"] += 1
+            if t is not None:
+                decision = t >= threshold
+                lev["correct"] += float(decision == False)  # noqa: E712
+                lev["counted"] += 1
+            if lev["done"] % ckpt == 0:
+                _save_state(state_file, state)
+        acc = lev["correct"] / lev["counted"] if lev["counted"] else 0.0
         results[measure] = acc
-        logger.info(f"Oracle with {measure} measurements: accuracy {acc}")
+        _save_state(state_file, state)
+        logger.info(f"Oracle with {measure} measurements: accuracy {acc} "
+                    f"({lev['counted']} trials)")
     return results
