@@ -1,0 +1,70 @@
+"""Timing-oracle evaluation: checkpoint/resume and trial-schedule behavior.
+
+Reference: simulate/hqc_eval_oracle.py:58-113 (profiling -> threshold ->
+accuracy sweep).  These run the REAL native pipeline at tiny measurement
+counts — they validate the sweep mechanics, not the accuracy values (the
+full-scale curve is an artifact run, artifacts/hqc128_oracle_accuracy.csv).
+"""
+
+import json
+
+from sca_ldpc_tpu.models.hqc.eval_oracle import hqc_eval_oracle
+from sca_ldpc_tpu.utils import make_random_state
+
+
+def test_eval_oracle_checkpoint_and_resume(tmp_path):
+    state_file = str(tmp_path / "state.json")
+    key_file = str(tmp_path / "key.key")
+
+    results = hqc_eval_oracle(
+        make_random_state(3),
+        keyfile=key_file,
+        num_trials=3,
+        max_log2_measurements=2,
+        profile_measurements=2**6,
+        state_file=state_file,
+    )
+    assert sorted(results) == [1, 2]
+    assert all(0.0 <= a <= 1.0 for a in results.values())
+
+    with open(state_file) as f:
+        state = json.load(f)
+    assert "threshold" in state
+    assert state["levels"]["1"]["done"] == 3
+    assert state["levels"]["2"]["done"] == 3
+    threshold = state["threshold"]
+
+    # Resume with a higher trial target: profiling must be skipped (same
+    # threshold) and tallies continue from the checkpoint.
+    results2 = hqc_eval_oracle(
+        make_random_state(4),
+        keyfile=key_file,
+        num_trials=5,
+        max_log2_measurements=2,
+        profile_measurements=2**6,
+        state_file=state_file,
+    )
+    with open(state_file) as f:
+        state2 = json.load(f)
+    assert state2["threshold"] == threshold
+    assert state2["levels"]["1"]["done"] == 5
+    assert state2["levels"]["2"]["done"] == 5
+    assert sorted(results2) == [1, 2]
+
+    # Reduced-trial schedule: levels >= 2**reduced_from_log2 use the reduced
+    # target; already-exceeded tallies are kept, new levels stop early.
+    results3 = hqc_eval_oracle(
+        make_random_state(5),
+        keyfile=key_file,
+        num_trials=5,
+        max_log2_measurements=3,
+        profile_measurements=2**6,
+        reduced_trials=2,
+        reduced_from_log2=2,
+        state_file=state_file,
+    )
+    with open(state_file) as f:
+        state3 = json.load(f)
+    assert state3["levels"]["1"]["done"] == 5  # kept (target already met)
+    assert state3["levels"]["4"]["done"] == 2  # reduced target
+    assert sorted(results3) == [1, 2, 4]
