@@ -385,8 +385,11 @@ static void gf_init() {
 }
 
 static inline uint8_t gf_mul(uint8_t a, uint8_t b) {
-  if (!a || !b) return 0;
-  return GF_EXP[GF_LOG[a] + GF_LOG[b]];
+  // Branchless (mask instead of early-out): RS decode must do the same
+  // work for every input so the decaps timing channel stays the
+  // re-encryption rejection sampling (see rs_decode below).
+  uint8_t m = (uint8_t)(-(int)(a != 0) & -(int)(b != 0));
+  return m & GF_EXP[GF_LOG[a] + GF_LOG[b]];
 }
 static inline uint8_t gf_inv(uint8_t a) { return GF_EXP[255 - GF_LOG[a]]; }
 
@@ -430,30 +433,35 @@ static void rs_syndromes(int ver, const uint8_t* cw, uint8_t* synd) {
   for (int i = 0; i < twod; i++) {
     uint8_t s = 0;
     for (int j = 0; j < p.n1; j++)
-      if (cw[j]) s ^= GF_EXP[(GF_LOG[cw[j]] + (i + 1) * j) % 255];
+      s ^= gf_mul(cw[j], GF_EXP[((i + 1) * j) % 255]);
     synd[i] = s;
   }
 }
 
 // Bounded-distance RS decode (syndromes + Berlekamp-Massey + Chien + Forney).
 // Returns 0 on success (<= delta errors corrected), -1 on failure.
+//
+// CONSTANT WORK: every call executes the full pipeline with fixed loop
+// bounds regardless of the error pattern (no all-zero-syndrome early out,
+// no early failure returns; corrections are committed through a success
+// mask).  The liboqs implementation the reference attacks is constant-time,
+// which is what makes decaps timing ≡ re-encryption rejection sampling
+// (hqc.rs:175-200); a bounded-distance decoder with data-dependent phases
+// leaks ~3k GF ops between clean and corrupted words — measured on this
+// model, that INVERTED the timing channel (modified ciphertexts decapsed
+// ~9k cycles slower).  On failure the word is left pristine; decrypt_core
+// then folds the (nonzero) syndrome in as the deterministic miscorrection.
 static int rs_decode(int ver, uint8_t* cw /* n1, corrected in place */) {
   gf_init();
   const HqcParams& p = P(ver);
   const int twod = 2 * p.delta;
+  const int delta = p.delta;
   uint8_t synd[2 * 64];
-  bool all_zero = true;
-  for (int i = 0; i < twod; i++) {
-    uint8_t s = 0;
-    for (int j = 0; j < p.n1; j++) {
-      if (cw[j]) s ^= GF_EXP[(GF_LOG[cw[j]] + (i + 1) * j) % 255];
-    }
-    synd[i] = s;
-    if (s) all_zero = false;
-  }
-  if (all_zero) return 0;
+  rs_syndromes(ver, cw, synd);
 
-  // Berlekamp-Massey
+  // Berlekamp-Massey, flattened: fixed loop bounds, branch decisions
+  // applied as byte masks.  C's degree never exceeds L, so summing its
+  // full fixed range adds only zero terms.
   uint8_t C[2 * 64 + 1], B[2 * 64 + 1], T[2 * 64 + 1];
   memset(C, 0, sizeof(C));
   memset(B, 0, sizeof(B));
@@ -462,50 +470,48 @@ static int rs_decode(int ver, uint8_t* cw /* n1, corrected in place */) {
   uint8_t b = 1;
   for (int nIdx = 0; nIdx < twod; nIdx++) {
     uint8_t d = synd[nIdx];
-    for (int i = 1; i <= L; i++) d ^= gf_mul(C[i], synd[nIdx - i]);
-    if (d == 0) {
-      m++;
-    } else if (2 * L <= nIdx) {
-      memcpy(T, C, sizeof(C));
-      uint8_t coef = gf_mul(d, gf_inv(b));
-      for (int i = 0; i + m <= twod; i++) C[i + m] ^= gf_mul(coef, B[i]);
-      L = nIdx + 1 - L;
-      memcpy(B, T, sizeof(B));
-      b = d;
-      m = 1;
-    } else {
-      uint8_t coef = gf_mul(d, gf_inv(b));
-      for (int i = 0; i + m <= twod; i++) C[i + m] ^= gf_mul(coef, B[i]);
-      m++;
+    for (int i = 1; i <= nIdx; i++) d ^= gf_mul(C[i], synd[nIdx - i]);
+    uint8_t dm = (uint8_t)-(int)(d != 0);          // update at all?
+    uint8_t sw = dm & (uint8_t)-(int)(2 * L <= nIdx);  // length change?
+    uint8_t coef = gf_mul(d, gf_inv(b));  // 0 when d == 0 (b is never 0)
+    memcpy(T, C, sizeof(C));
+    for (int i = 0; i <= twod; i++) {
+      uint8_t bb = (i >= m) ? B[i - m] : 0;
+      C[i] ^= gf_mul(coef, bb);
     }
+    for (int i = 0; i <= twod; i++) B[i] = (uint8_t)((B[i] & ~sw) | (T[i] & sw));
+    b = (uint8_t)((b & ~sw) | (d & sw));
+    int L2 = nIdx + 1 - L;
+    L = (sw ? L2 : L);
+    m = (sw ? 1 : m + 1);
   }
-  if (L > p.delta) return -1;
+  int fail = (L > delta);
 
-  // Chien search over codeword positions: error at j iff C(alpha^{-j}) == 0.
-  int err_pos[64];
+  // Chien search over all codeword positions: error at j iff
+  // C(alpha^{-j}) == 0.  Fixed inner bound delta (C[i>L] == 0 when the
+  // decode can succeed; when L > delta `fail` already stands).
+  uint8_t is_err[128];
   int n_err = 0;
   for (int j = 0; j < p.n1; j++) {
     uint8_t v = C[0];
-    for (int i = 1; i <= L; i++) {
-      if (C[i]) v ^= GF_EXP[(GF_LOG[C[i]] + ((255 - j) % 255) * i) % 255];
-    }
-    if (v == 0) {
-      if (n_err >= L) return -1;
-      err_pos[n_err++] = j;
-    }
+    for (int i = 1; i <= delta; i++)
+      v ^= gf_mul(C[i], GF_EXP[(((255 - j) % 255) * i) % 255]);
+    is_err[j] = (uint8_t)-(int)(v == 0);
+    n_err += (int)(v == 0);
   }
-  if (n_err != L) return -1;
+  fail |= (n_err != L);
 
-  // Forney: error evaluator Omega = S*C mod x^{2delta}
+  // Forney at every position (masked): Omega = S*C mod x^{2delta},
+  // e_j = Omega(X^-1) / Lambda'(X^-1) committed only where is_err.
   uint8_t omega[2 * 64];
-  memset(omega, 0, sizeof(omega));
   for (int i = 0; i < twod; i++) {
     uint8_t acc = 0;
-    for (int j = 0; j <= i && j <= L; j++) acc ^= gf_mul(C[j], synd[i - j]);
+    int jmax = i < delta ? i : delta;
+    for (int j = 0; j <= jmax; j++) acc ^= gf_mul(C[j], synd[i - j]);
     omega[i] = acc;
   }
-  for (int e = 0; e < n_err; e++) {
-    int j = err_pos[e];
+  uint8_t corr[128];
+  for (int j = 0; j < p.n1; j++) {
     uint8_t xinv = GF_EXP[(255 - j) % 255];  // alpha^{-j}
     uint8_t num = 0, den = 0;
     uint8_t xp = 1;
@@ -516,23 +522,27 @@ static int rs_decode(int ver, uint8_t* cw /* n1, corrected in place */) {
     // C'(x): odd-degree terms
     xp = 1;
     uint8_t xinv2 = gf_mul(xinv, xinv);
-    for (int i = 1; i <= L; i += 2) {
+    for (int i = 1; i <= delta; i += 2) {
       den ^= gf_mul(C[i], xp);
       xp = gf_mul(xp, xinv2);
     }
-    if (den == 0) return -1;
-    // Narrow-sense (syndromes at alpha^1..alpha^2delta): e_j = Omega(X^-1)/Lambda'(X^-1)
+    fail |= (is_err[j] & (uint8_t)-(int)(den == 0)) != 0;
+    // Narrow-sense (syndromes at alpha^1..alpha^2delta)
     uint8_t mag = gf_mul(num, gf_inv(den));
-    cw[j] ^= mag;
+    corr[j] = (uint8_t)(mag & is_err[j]);
   }
-  // Verify
-  for (int i = 0; i < twod; i++) {
-    uint8_t s = 0;
-    for (int j = 0; j < p.n1; j++)
-      if (cw[j]) s ^= GF_EXP[(GF_LOG[cw[j]] + (i + 1) * j) % 255];
-    if (s) return -1;
-  }
-  return 0;
+
+  // Verify the tentative correction, then commit on success only.
+  uint8_t tent[128] = {0};
+  for (int j = 0; j < p.n1; j++) tent[j] = (uint8_t)(cw[j] ^ corr[j]);
+  uint8_t vs[2 * 64];
+  rs_syndromes(ver, tent, vs);
+  uint8_t any = 0;
+  for (int i = 0; i < twod; i++) any |= vs[i];
+  fail |= (any != 0);
+  uint8_t ok_mask = (uint8_t)~(uint8_t)-(int)(fail != 0);
+  for (int j = 0; j < p.n1; j++) cw[j] ^= (uint8_t)(corr[j] & ok_mask);
+  return fail ? -1 : 0;
 }
 
 // Test hooks for the Python conformance suite.
@@ -847,13 +857,16 @@ static void decrypt_core(int ver, const uint8_t* ct, const uint8_t* sk,
   // re-encryption rejection sampling (hqc.rs:175-200's leak) — an earlier
   // SHAKE-on-failure branch here cost ~450k cycles and INVERTED it.
   memcpy(m_out, rs_cw + 2 * p.delta, (size_t)p.k);
-  if (ok != 0) {
-    const int twod = 2 * p.delta;
-    uint8_t synd[2 * 64];
-    rs_syndromes(ver, rs_cw, synd);
-    for (int i = 0; i < p.k; i++)
-      m_out[i] ^= synd[(2 * i) % twod] ^ synd[(2 * i + 1) % twod] ^ 0x5A;
-  }
+  // Constant work: the fold is always computed and committed through a
+  // failure mask.  On success rs_decode left a valid codeword, so these
+  // syndromes are zero and the mask is zero — m_out is untouched.
+  const int twod = 2 * p.delta;
+  uint8_t synd[2 * 64];
+  rs_syndromes(ver, rs_cw, synd);
+  uint8_t fm = (uint8_t)-(int)(ok != 0);
+  for (int i = 0; i < p.k; i++)
+    m_out[i] ^= (uint8_t)(fm &
+        (synd[(2 * i) % twod] ^ synd[(2 * i + 1) % twod] ^ 0x5A));
 }
 
 int hqc_decode_intermediates(int ver, const uint8_t* ct, const uint8_t* sk,

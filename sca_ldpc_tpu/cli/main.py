@@ -78,6 +78,14 @@ class Commands(CommandsBase):
                             help="hqc_eval_oracle: measurements per profiling phase (log2)")
         parser.add_argument("--state-file", type=str,
                             help="hqc_eval_oracle: JSON checkpoint for resumable sweeps")
+        parser.add_argument("--profile-mode", type=str, default="interleaved",
+                            choices=["interleaved", "sequential"],
+                            help="hqc_eval_oracle: drift-robust interleaved profiling "
+                                 "or the reference's sequential phases")
+        parser.add_argument("--trial-mode", type=str, default="differential",
+                            choices=["differential", "threshold"],
+                            help="hqc_eval_oracle: drift-cancelling differential trials "
+                                 "or the reference's absolute threshold")
         error_group = parser.add_mutually_exclusive_group(required=False)
         error_group.add_argument("--error-rate", type=float, default=0.00,
                                  help="Error rate of the simulated binary symmetric channel; "
@@ -116,6 +124,8 @@ class Commands(CommandsBase):
             reduced_trials=args.reduced_trials,
             reduced_from_log2=args.reduced_from_log2,
             state_file=args.state_file,
+            profile_mode=args.profile_mode,
+            trial_mode=args.trial_mode,
         )
         if args.csv_output:
             import pandas as pd

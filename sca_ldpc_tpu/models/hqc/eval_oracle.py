@@ -5,6 +5,22 @@ timing side channel of decapsulation (the native decaps re-encrypts with the
 decoded plaintext's randomness, csrc/hqc_core.cpp hqc_decaps): profiles
 modified vs unmodified ciphertexts, derives a threshold, then sweeps oracle
 accuracy against the number of measurements.
+
+Two measurement-methodology improvements over the reference (both opt-out),
+needed because this framework also targets shared/virtualized hosts where
+ambient load drifts by more than the timing signal between measurement
+epochs (the reference measured on an otherwise-idle laptop):
+
+- **Interleaved profiling** (``profile_mode="interleaved"``): the modified
+  and unmodified profile ciphertexts are measured in round-robin chunks
+  instead of back-to-back phases (hqc_eval_oracle.py:39-56), so slow drift
+  affects both classes equally and cancels in the threshold difference.
+- **Differential trials** (``trial_mode="differential"``): each accuracy
+  trial measures the probe ciphertext AND a known-unmodified reference
+  ciphertext in interleaved chunks and classifies by their difference,
+  cancelling epoch-scale drift between profiling and the (hours-long)
+  trial sweep.  ``trial_mode="threshold"`` is the reference's absolute
+  comparison (hqc_eval_oracle.py:94-112).
 """
 
 import json
@@ -38,15 +54,62 @@ def modify_beyond_correction_limit(HQC, rng, ct):
     return ct
 
 
+def _percentile(samples, measure):
+    """First-percentile estimator of the reference (hqc_eval_oracle.py:34-37):
+    index ``measure // 100`` of the sorted cycle counts."""
+    if not samples:
+        return None
+    return sorted(samples)[min(measure // 100, len(samples) - 1)]
+
+
 def oracle(HQC, ct, priv, measure):
     """First-percentile of cycle-timed decapsulations (hqc_eval_oracle.py:34-37)."""
     samples = HQC.decode_oracle(ct, priv, measure)
-    if not samples:
-        return None
-    return sorted(samples)[measure // 100]
+    return _percentile(samples, measure)
 
 
-def profiling_oracle(HQC, rng, pub, priv, why, mod, num_profiles=4, measurements=2**16):
+def _measure_interleaved(HQC, priv, cts, measurements, chunk,
+                         cycle_stats=False):
+    """Measure every ciphertext in ``cts`` with ``measurements`` cycle-timed
+    decapsulations each, in round-robin chunks (drift-cancelling), and return
+    the per-ciphertext first-percentile estimates.
+
+    With ``cycle_stats`` also returns the per-round-robin-cycle percentile
+    estimates ``[n_cycles][n_cts]`` — paired within-cycle statistics whose
+    differences are immune to drift slower than one cycle."""
+    samples = [[] for _ in cts]
+    cycles = []
+    done = 0
+    while done < measurements:
+        step = min(chunk, measurements - done)
+        cyc = []
+        for i, ct in enumerate(cts):
+            s = HQC.decode_oracle(ct, priv, step)
+            samples[i].extend(s)
+            cyc.append(_percentile(s, step))
+        cycles.append(cyc)
+        done += step
+    totals = [_percentile(s, measurements) for s in samples]
+    if cycle_stats:
+        return totals, cycles
+    return totals
+
+
+def _make_profile_ct(HQC, rng, pub, mod):
+    pt = search_distinguishable_plaintext(
+        HQC, rng, target_additional_seedexpansions=2 if mod else 3
+    )
+    ct, _ = HQC.encaps_with_plaintext_and_r1(pub, pt, [])
+    if mod:
+        ct = modify_beyond_correction_limit(HQC, rng, ct)
+    return ct
+
+
+def profiling_oracle(HQC, rng, pub, priv, why, mod, num_profiles=4,
+                     measurements=2**16):
+    """Sequential (reference-exact) profiling of one ciphertext class:
+    average first-percentile over ``num_profiles`` fresh ciphertexts
+    (hqc_eval_oracle.py:39-56)."""
     while True:
         logger.info(
             f"Doing {measurements * num_profiles} decapsulations for {why}. "
@@ -54,17 +117,44 @@ def profiling_oracle(HQC, rng, pub, priv, why, mod, num_profiles=4, measurements
         )
         profs = []
         for _ in range(num_profiles):
-            pt = search_distinguishable_plaintext(
-                HQC, rng, target_additional_seedexpansions=2 if mod else 3
-            )
-            ct, _ = HQC.encaps_with_plaintext_and_r1(pub, pt, [])
-            if mod:
-                ct = modify_beyond_correction_limit(HQC, rng, ct)
-            t = oracle(HQC, ct, priv, measurements)
+            t = oracle(HQC, _make_profile_ct(HQC, rng, pub, mod), priv,
+                       measurements)
             if t:
                 profs.append(t)
         if profs:
             return sum(profs) / len(profs)
+
+
+def profiling_oracle_interleaved(HQC, rng, pub, priv, num_profiles=4,
+                                 measurements=2**16, chunk=2**11):
+    """Drift-robust profiling: the modified and unmodified profile
+    ciphertexts are measured in interleaved chunks.  Returns
+    ``(t_nmod, t_ymod, gap)`` where t_* are class averages of the overall
+    percentiles (the threshold level) and ``gap`` is the MEDIAN over
+    round-robin cycles of the within-cycle class difference — drift slower
+    than one cycle (~chunk x 2 x num_profiles decapsulations) cancels in
+    each paired difference, and the median rejects burst-corrupted cycles."""
+    logger.info(
+        f"Interleaved profiling: {measurements} measurements x "
+        f"{num_profiles} ciphertexts x 2 classes (chunk {chunk})"
+    )
+    cts = [_make_profile_ct(HQC, rng, pub, False) for _ in range(num_profiles)]
+    cts += [_make_profile_ct(HQC, rng, pub, True) for _ in range(num_profiles)]
+    ts, cycles = _measure_interleaved(HQC, priv, cts, measurements, chunk,
+                                      cycle_stats=True)
+    nmod = [t for t in ts[:num_profiles] if t is not None]
+    ymod = [t for t in ts[num_profiles:] if t is not None]
+    if not nmod or not ymod:
+        return None, None, None
+    diffs = []
+    for cyc in cycles:
+        cn = [t for t in cyc[:num_profiles] if t is not None]
+        cy = [t for t in cyc[num_profiles:] if t is not None]
+        if cn and cy:
+            diffs.append(sum(cn) / len(cn) - sum(cy) / len(cy))
+    diffs.sort()
+    gap = diffs[len(diffs) // 2] if diffs else None
+    return sum(nmod) / len(nmod), sum(ymod) / len(ymod), gap
 
 
 def _load_state(state_file):
@@ -93,6 +183,8 @@ def hqc_eval_oracle(
     reduced_from_log2=13,
     state_file=None,
     checkpoint_every=50,
+    profile_mode="interleaved",
+    trial_mode="differential",
 ):
     """Full oracle-accuracy evaluation; returns {measurements: accuracy}.
 
@@ -105,6 +197,10 @@ def hqc_eval_oracle(
     - ``state_file``: JSON checkpoint holding the profiling threshold and
       per-level partial tallies; a restarted run resumes mid-level.  The
       threshold is only reusable with the same ``keyfile`` keypair.
+
+    ``profile_mode``/``trial_mode`` select the drift-robust methodology
+    (module docstring); ``("sequential", "threshold")`` reproduces the
+    reference exactly.
     """
     HQC = Hqc128()
     measurements_list = [2**x for x in range(max_log2_measurements)]
@@ -112,27 +208,44 @@ def hqc_eval_oracle(
     pub, priv = read_or_generate_keypair(HQC, keyfile)
 
     state = _load_state(state_file)
+    if state and state.get("trial_mode", trial_mode) != trial_mode:
+        raise ValueError(
+            f"state file {state_file} was recorded with trial_mode="
+            f"{state['trial_mode']!r}; refusing to mix with {trial_mode!r}"
+        )
     if "threshold" in state:
         threshold = state["threshold"]
-        logger.info(f"Resuming with checkpointed threshold: {threshold}")
+        gap = state.get("gap", 0.0)
+        logger.info(f"Resuming with checkpointed threshold {threshold}, gap {gap}")
     else:
         profiling_oracle(HQC, rng, pub, priv, "warmup", False, num_profiles=1,
-                         measurements=profile_measurements)
+                         measurements=min(profile_measurements, 2**14))
 
-        profiling_diff = 0
-        while profiling_diff <= 0:
-            t_nmod = profiling_oracle(HQC, rng, pub, priv, "profile phase 1",
-                                      False, measurements=profile_measurements)
+        gap = 0
+        while gap is None or gap <= 0:
+            if profile_mode == "interleaved":
+                t_nmod, t_ymod, gap = profiling_oracle_interleaved(
+                    HQC, rng, pub, priv, measurements=profile_measurements
+                )
+                if t_nmod is None:
+                    continue
+            else:
+                t_nmod = profiling_oracle(HQC, rng, pub, priv,
+                                          "profile phase 1", False,
+                                          measurements=profile_measurements)
+                t_ymod = profiling_oracle(HQC, rng, pub, priv,
+                                          "profile phase 2", True,
+                                          measurements=profile_measurements)
+                gap = t_nmod - t_ymod
             logger.info(f"Profiling result (nmod): {t_nmod}")
-            t_ymod = profiling_oracle(HQC, rng, pub, priv, "profile phase 2",
-                                      True, measurements=profile_measurements)
             logger.info(f"Profiling result (ymod): {t_ymod}")
-            profiling_diff = t_nmod - t_ymod
-            logger.info(f"Profiling diff nmod - ymod: {profiling_diff}")
+            logger.info(f"Profiling gap nmod - ymod: {gap} "
+                        f"(levels diff {t_nmod - t_ymod})")
 
-        threshold = t_nmod - profiling_diff / 2
+        threshold = t_nmod - gap / 2
         logger.info(f"Profiling threshold: {threshold}")
         state = {"threshold": threshold, "t_nmod": t_nmod, "t_ymod": t_ymod,
+                 "gap": gap, "trial_mode": trial_mode,
                  "profile_measurements": profile_measurements, "levels": {}}
         _save_state(state_file, state)
 
@@ -140,6 +253,26 @@ def hqc_eval_oracle(
 
     pt = search_distinguishable_plaintext(HQC, rng)
     ctnmod, _ = HQC.encaps_with_plaintext_and_r1(pub, pt, [])
+
+    def trial(measure):
+        """One accuracy trial: classify a fresh beyond-correction-limit
+        ciphertext from ``measure`` measurements.  Returns 1.0 on a correct
+        'modified' call, 0.0 otherwise, None if no samples survived."""
+        ctymod = modify_beyond_correction_limit(HQC, rng, ctnmod)
+        if trial_mode == "differential":
+            chunk = max(16, measure // 8)
+            t_probe, t_ref = _measure_interleaved(
+                HQC, priv, [ctymod, ctnmod], measure, chunk
+            )
+            if t_probe is None or t_ref is None:
+                return None
+            decision_unmodified = (t_probe - t_ref) > -gap / 2
+        else:
+            t = oracle(HQC, ctymod, priv, measure)
+            if t is None:
+                return None
+            decision_unmodified = t >= threshold
+        return float(decision_unmodified == False)  # noqa: E712
 
     results = {}
     for log2m, measure in enumerate(measurements_list):
@@ -152,12 +285,10 @@ def hqc_eval_oracle(
         # `checkpoint_every` trials.
         ckpt = max(1, min(checkpoint_every, 2**17 // measure))
         while lev["done"] < target:
-            ctymod = modify_beyond_correction_limit(HQC, rng, ctnmod)
-            t = oracle(HQC, ctymod, priv, measure)
+            outcome = trial(measure)
             lev["done"] += 1
-            if t is not None:
-                decision = t >= threshold
-                lev["correct"] += float(decision == False)  # noqa: E712
+            if outcome is not None:
+                lev["correct"] += outcome
                 lev["counted"] += 1
             if lev["done"] % ckpt == 0:
                 _save_state(state_file, state)

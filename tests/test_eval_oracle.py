@@ -8,6 +8,8 @@ full-scale curve is an artifact run, artifacts/hqc128_oracle_accuracy.csv).
 
 import json
 
+import pytest
+
 from sca_ldpc_tpu.models.hqc.eval_oracle import hqc_eval_oracle
 from sca_ldpc_tpu.utils import make_random_state
 
@@ -68,3 +70,32 @@ def test_eval_oracle_checkpoint_and_resume(tmp_path):
     assert state3["levels"]["1"]["done"] == 5  # kept (target already met)
     assert state3["levels"]["4"]["done"] == 2  # reduced target
     assert sorted(results3) == [1, 2, 4]
+
+    # A state recorded under one trial mode must not be silently reused
+    # under another (the tallies would mix decision rules).
+    with pytest.raises(ValueError, match="trial_mode"):
+        hqc_eval_oracle(
+            make_random_state(6),
+            keyfile=key_file,
+            num_trials=1,
+            max_log2_measurements=1,
+            profile_measurements=2**6,
+            state_file=state_file,
+            trial_mode="threshold",
+        )
+
+
+def test_eval_oracle_reference_modes(tmp_path):
+    """The reference's sequential-profiling + absolute-threshold pipeline
+    (hqc_eval_oracle.py:39-112) stays available behind the mode knobs."""
+    results = hqc_eval_oracle(
+        make_random_state(8),
+        keyfile=str(tmp_path / "key.key"),
+        num_trials=2,
+        max_log2_measurements=2,
+        profile_measurements=2**6,
+        profile_mode="sequential",
+        trial_mode="threshold",
+    )
+    assert sorted(results) == [1, 2]
+    assert all(0.0 <= a <= 1.0 for a in results.values())
