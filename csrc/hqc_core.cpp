@@ -451,13 +451,18 @@ static void rs_syndromes(int ver, const uint8_t* cw, uint8_t* synd) {
 // model, that INVERTED the timing channel (modified ciphertexts decapsed
 // ~9k cycles slower).  On failure the word is left pristine; decrypt_core
 // then folds the (nonzero) syndrome in as the deterministic miscorrection.
-static int rs_decode(int ver, uint8_t* cw /* n1, corrected in place */) {
+// `synd_out` (optional, 2*delta bytes) receives the INPUT word's syndromes
+// — on failure exactly what the caller's fold needs, saving a third
+// syndrome pass per decapsulation.
+static int rs_decode(int ver, uint8_t* cw /* n1, corrected in place */,
+                     uint8_t* synd_out = nullptr) {
   gf_init();
   const HqcParams& p = P(ver);
   const int twod = 2 * p.delta;
   const int delta = p.delta;
   uint8_t synd[2 * 64];
   rs_syndromes(ver, cw, synd);
+  if (synd_out) memcpy(synd_out, synd, (size_t)twod);
 
   // Berlekamp-Massey, flattened: fixed loop bounds, branch decisions
   // applied as byte masks.  C's degree never exceeds L, so summing its
@@ -847,7 +852,8 @@ static void decrypt_core(int ver, const uint8_t* ct, const uint8_t* sk,
   rm_decode(ver, trunc, rm_symbols);
   uint8_t rs_cw[128];
   memcpy(rs_cw, rm_symbols, (size_t)P(ver).n1);
-  int ok = rs_decode(ver, rs_cw);
+  uint8_t synd[2 * 64];
+  int ok = rs_decode(ver, rs_cw, synd);
   const HqcParams& p = P(ver);
   // systematic: message in high positions (always extracted — a real RS
   // decoder has no separate failure path; it just emits a miscorrected
@@ -858,11 +864,10 @@ static void decrypt_core(int ver, const uint8_t* ct, const uint8_t* sk,
   // SHAKE-on-failure branch here cost ~450k cycles and INVERTED it.
   memcpy(m_out, rs_cw + 2 * p.delta, (size_t)p.k);
   // Constant work: the fold is always computed and committed through a
-  // failure mask.  On success rs_decode left a valid codeword, so these
-  // syndromes are zero and the mask is zero — m_out is untouched.
+  // failure mask.  `synd` holds the syndromes of the INPUT word: on
+  // failure rs_decode left cw pristine so they are exactly the fold input;
+  // on success the mask is zero and m_out is untouched.
   const int twod = 2 * p.delta;
-  uint8_t synd[2 * 64];
-  rs_syndromes(ver, rs_cw, synd);
   uint8_t fm = (uint8_t)-(int)(ok != 0);
   for (int i = 0; i < p.k; i++)
     m_out[i] ^= (uint8_t)(fm &

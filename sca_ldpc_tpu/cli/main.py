@@ -130,8 +130,11 @@ class Commands(CommandsBase):
         if args.csv_output:
             import pandas as pd
 
+            per_decision = 2 if args.trial_mode == "differential" else 1
             df = pd.DataFrame(
-                [{"measurements": m, "accuracy": a} for m, a in sorted(results.items())]
+                [{"measurements": m, "accuracy": a,
+                  "decaps_per_decision": per_decision * m}
+                 for m, a in sorted(results.items())]
             )
             df.to_csv(args.csv_output, index=False)
             logger.info(f"Accuracy curve written to {args.csv_output}")

@@ -202,20 +202,55 @@ def hqc_eval_oracle(
     (module docstring); ``("sequential", "threshold")`` reproduces the
     reference exactly.
     """
+    import hashlib
+
+    from .model import lib_fingerprint
+
     HQC = Hqc128()
     measurements_list = [2**x for x in range(max_log2_measurements)]
 
     pub, priv = read_or_generate_keypair(HQC, keyfile)
+    key_fp = hashlib.sha256(bytes(pub) + bytes(priv)).hexdigest()
+    lib_fp = lib_fingerprint()
 
     state = _load_state(state_file)
-    if state and state.get("trial_mode", trial_mode) != trial_mode:
-        raise ValueError(
-            f"state file {state_file} was recorded with trial_mode="
-            f"{state['trial_mode']!r}; refusing to mix with {trial_mode!r}"
-        )
+    if state and "threshold" in state:
+        # Refuse to resume tallies whose decision rule or environment no
+        # longer matches: mixed rules corrupt every resumed level.
+        if "trial_mode" not in state or "gap" not in state:
+            raise ValueError(
+                f"state file {state_file} predates trial-mode/gap recording; "
+                "its tallies cannot be safely resumed — delete it to restart"
+            )
+        if state["trial_mode"] != trial_mode:
+            raise ValueError(
+                f"state file {state_file} was recorded with trial_mode="
+                f"{state['trial_mode']!r}; refusing to mix with {trial_mode!r}"
+            )
+        if state.get("key_fingerprint") not in (None, key_fp):
+            raise ValueError(
+                f"state file {state_file} was profiled with a different "
+                "keypair (the key file was regenerated?); delete it to restart"
+            )
+        if state.get("lib_fingerprint") not in (None, lib_fp):
+            # Absolute thresholds are binary-specific; differential gaps
+            # survive uniform timing shifts.
+            msg = (f"state file {state_file} was profiled with a different "
+                   "libhqc_core.so build")
+            if trial_mode == "threshold":
+                raise ValueError(msg + "; its absolute threshold is stale — "
+                                 "delete it to restart")
+            logger.warning(msg + "; continuing (differential decisions are "
+                           "level-shift immune)")
+        for fp_key, fp in (("key_fingerprint", key_fp),
+                           ("lib_fingerprint", lib_fp)):
+            if state.get(fp_key) is None:
+                logger.warning(f"state file predates {fp_key}; adopting the "
+                               "current value")
+                state[fp_key] = fp
     if "threshold" in state:
         threshold = state["threshold"]
-        gap = state.get("gap", 0.0)
+        gap = state["gap"]
         logger.info(f"Resuming with checkpointed threshold {threshold}, gap {gap}")
     else:
         profiling_oracle(HQC, rng, pub, priv, "warmup", False, num_profiles=1,
@@ -246,6 +281,7 @@ def hqc_eval_oracle(
         logger.info(f"Profiling threshold: {threshold}")
         state = {"threshold": threshold, "t_nmod": t_nmod, "t_ymod": t_ymod,
                  "gap": gap, "trial_mode": trial_mode,
+                 "key_fingerprint": key_fp, "lib_fingerprint": lib_fp,
                  "profile_measurements": profile_measurements, "levels": {}}
         _save_state(state_file, state)
 
@@ -256,8 +292,12 @@ def hqc_eval_oracle(
 
     def trial(measure):
         """One accuracy trial: classify a fresh beyond-correction-limit
-        ciphertext from ``measure`` measurements.  Returns 1.0 on a correct
-        'modified' call, 0.0 otherwise, None if no samples survived."""
+        ciphertext from ``measure`` measurements of it.  Returns 1.0 on a
+        correct 'modified' call, 0.0 otherwise, None if no samples survived.
+
+        NOTE: differential mode additionally spends ``measure``
+        decapsulations on the reference ciphertext, so one decision costs
+        2x measure decaps (the CSV records decaps_per_decision)."""
         ctymod = modify_beyond_correction_limit(HQC, rng, ctnmod)
         if trial_mode == "differential":
             chunk = max(16, measure // 8)

@@ -19,12 +19,17 @@ import numpy as np
 _LIB = None
 
 
+def _so_path():
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+    return os.path.join(root, "csrc", "libhqc_core.so")
+
+
 def _lib():
     global _LIB
     if _LIB is not None:
         return _LIB
-    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
-    so = os.path.join(root, "csrc", "libhqc_core.so")
+    so = _so_path()
+    root = os.path.dirname(os.path.dirname(so))
     src = os.path.join(root, "csrc", "hqc_core.cpp")
     stale = os.path.exists(so) and os.path.exists(src) and os.path.getmtime(src) > os.path.getmtime(so)
     if not os.path.exists(so) or stale:
@@ -57,6 +62,17 @@ def _lib():
     lib.hqc_rs_decode.restype = ctypes.c_int
     _LIB = lib
     return lib
+
+
+def lib_fingerprint():
+    """SHA-256 of the loaded native library — decaps timing distributions
+    (and hence absolute timing-oracle thresholds) are only comparable
+    between identical binaries."""
+    import hashlib
+
+    _lib()  # ensure built
+    with open(_so_path(), "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
 
 
 def _buf(data):

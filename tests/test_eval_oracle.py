@@ -84,6 +84,30 @@ def test_eval_oracle_checkpoint_and_resume(tmp_path):
             trial_mode="threshold",
         )
 
+    # A state profiled under a different keypair is stale (the key file was
+    # silently regenerated): refuse to resume.
+    state3["key_fingerprint"] = "0" * 64
+    with open(state_file, "w") as f:
+        json.dump(state3, f)
+    with pytest.raises(ValueError, match="keypair"):
+        hqc_eval_oracle(
+            make_random_state(6), keyfile=key_file, num_trials=1,
+            max_log2_measurements=1, profile_measurements=2**6,
+            state_file=state_file,
+        )
+
+    # Pre-upgrade states (no trial_mode/gap recorded) cannot be resumed —
+    # the decision rule that produced their tallies is unknown.
+    del state3["trial_mode"]
+    with open(state_file, "w") as f:
+        json.dump(state3, f)
+    with pytest.raises(ValueError, match="predates"):
+        hqc_eval_oracle(
+            make_random_state(6), keyfile=key_file, num_trials=1,
+            max_log2_measurements=1, profile_measurements=2**6,
+            state_file=state_file,
+        )
+
 
 def test_eval_oracle_reference_modes(tmp_path):
     """The reference's sequential-profiling + absolute-threshold pipeline
