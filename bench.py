@@ -128,11 +128,27 @@ def bench_tpu(lay, probs, batch=4096, steps=20, max_iter=30,
 
     out = multi(jax.random.PRNGKey(0))
     jax.block_until_ready(out)
-    t0 = time.time()
-    out = multi(jax.random.PRNGKey(1))
-    jax.block_until_ready(out)
-    dt = time.time() - t0
+    dt, out = _best_of(lambda i: multi(jax.random.PRNGKey(1 + i)))
     return steps * batch / dt, int(out) / (steps * batch)
+
+
+def _best_of(run, repeats=3):
+    """Time `run(i)` `repeats` times, return (fastest dt, its result).
+
+    Remote co-tenant bursts can stall a single dispatch by orders of
+    magnitude (CLAUDE.md); the fastest of a few dispatches is the
+    steady-state number."""
+    import jax
+
+    best_dt, best_out = float("inf"), None
+    for i in range(repeats):
+        t0 = time.time()
+        out = run(i)
+        jax.block_until_ready(out)
+        dt = time.time() - t0
+        if dt < best_dt:
+            best_dt, best_out = dt, out
+    return best_dt, best_out
 
 
 def bench_qary_medium(batch=4096, iters=10, steps=10):
@@ -176,10 +192,7 @@ def bench_qary_medium(batch=4096, iters=10, steps=10):
 
     out = loop(llr, steps)
     jax.block_until_ready(out)
-    t0 = time.time()
-    out = loop(llr, steps)
-    jax.block_until_ready(out)
-    dt = time.time() - t0
+    dt, out = _best_of(lambda i: loop(llr, steps))
     ok = int(out) == 0  # all-zero codeword recovered in every step
     return steps * batch / dt, ok
 
@@ -225,10 +238,7 @@ def bench_kyber_decoder(batch=4096, iters=10, steps=10):
 
     out = loop(llr_b, llr_s_row, vsum, steps)
     jax.block_until_ready(out)
-    t0 = time.time()
-    out = loop(llr_b, llr_s_row, vsum, steps)
-    jax.block_until_ready(out)
-    dt = time.time() - t0
+    dt, out = _best_of(lambda i: loop(llr_b, llr_s_row, vsum, steps))
     ok = int(out) == 0
     return steps * batch / dt, ok
 
