@@ -130,17 +130,19 @@ def _make_kernel(shifts, n, tb, max_iter, method):
                 tot_c = tot_c + _roll(ext, n - k)
             tot_i = pi + ext_i
 
-            # ---- pass 3: in-place plane rewrite from the cached extrinsics
-            for t, k in enumerate(shifts):
-                v2c[t] = jnp.clip(_roll(tot_c, k) - c2v[t], -_BIG, _BIG).astype(
-                    jnp.bfloat16
-                )
-
+            # ---- pass 3: in-place plane rewrite from the cached extrinsics.
+            # The convergence syndrome shares pass 3's rolls: roll(e_c, k)
+            # is exactly the sign bit of the roll(tot_c, k) computed here
+            # anyway (roll is a permutation), so no separate syndrome rolls.
             e_c = jnp.where(tot_c < 0, 1.0, 0.0)
             e_i = jnp.where(tot_i < 0, 1.0, 0.0)
             syn_hat = e_i
-            for k in shifts:
-                syn_hat = syn_hat + _roll(e_c, k)
+            for t, k in enumerate(shifts):
+                rolled = _roll(tot_c, k)
+                v2c[t] = jnp.clip(rolled - c2v[t], -_BIG, _BIG).astype(
+                    jnp.bfloat16
+                )
+                syn_hat = syn_hat + jnp.where(rolled < 0, 1.0, 0.0)
             syn_hat = syn_hat - 2.0 * jnp.floor(syn_hat * 0.5)  # mod 2
             ok = jnp.sum(jnp.abs(syn_hat - syn), axis=-1, keepdims=True) == 0.0
             return e_c, e_i, ok  # ok: [TB, 1]
