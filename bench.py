@@ -128,7 +128,7 @@ def bench_tpu(lay, probs, batch=4096, steps=20, max_iter=30,
 
     out = multi(jax.random.PRNGKey(0))
     jax.block_until_ready(out)
-    dt, out = _best_of(lambda i: multi(jax.random.PRNGKey(1 + i)))
+    dt, out = _best_of(lambda i: multi(jax.random.PRNGKey(1)))
     return steps * batch / dt, int(out) / (steps * batch)
 
 
