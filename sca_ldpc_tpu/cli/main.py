@@ -126,18 +126,15 @@ class Commands(CommandsBase):
             state_file=args.state_file,
             profile_mode=args.profile_mode,
             trial_mode=args.trial_mode,
+            csv_output=args.csv_output,
         )
         if args.csv_output:
-            import pandas as pd
-
-            per_decision = 2 if args.trial_mode == "differential" else 1
-            df = pd.DataFrame(
-                [{"measurements": m, "accuracy": a,
-                  "decaps_per_decision": per_decision * m}
-                 for m, a in sorted(results.items())]
+            # the curve is (re)written at every checkpoint; this logs the
+            # final state for the user
+            logger.info(
+                f"Accuracy curve ({len(results)} levels) written to "
+                f"{args.csv_output}"
             )
-            df.to_csv(args.csv_output, index=False)
-            logger.info(f"Accuracy curve written to {args.csv_output}")
 
     def command_view_hqc_oracle_accuracy(self, args):
         from ..viz import view_hqc_oracle_accuracy

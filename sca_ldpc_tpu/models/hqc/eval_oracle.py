@@ -173,6 +173,26 @@ def _save_state(state_file, state):
     os.replace(tmp, state_file)
 
 
+def _write_csv(csv_output, state, trial_mode):
+    """Write the accuracy curve of every level with data so far.  Called at
+    each checkpoint so long sweeps always leave a (partial) curve artifact,
+    not only on completion."""
+    if not csv_output:
+        return
+    per_decision = 2 if trial_mode == "differential" else 1
+    rows = sorted(
+        (int(m), lev) for m, lev in state.get("levels", {}).items()
+        if lev.get("counted")
+    )
+    tmp = csv_output + ".tmp"
+    with open(tmp, "w") as f:
+        f.write("measurements,accuracy,trials,decaps_per_decision\n")
+        for m, lev in rows:
+            acc = lev["correct"] / lev["counted"]
+            f.write(f"{m},{acc},{lev['counted']},{per_decision * m}\n")
+    os.replace(tmp, csv_output)
+
+
 def hqc_eval_oracle(
     rng,
     keyfile=None,
@@ -185,6 +205,7 @@ def hqc_eval_oracle(
     checkpoint_every=50,
     profile_mode="interleaved",
     trial_mode="differential",
+    csv_output=None,
 ):
     """Full oracle-accuracy evaluation; returns {measurements: accuracy}.
 
@@ -332,9 +353,11 @@ def hqc_eval_oracle(
                 lev["counted"] += 1
             if lev["done"] % ckpt == 0:
                 _save_state(state_file, state)
+                _write_csv(csv_output, state, trial_mode)
         acc = lev["correct"] / lev["counted"] if lev["counted"] else 0.0
         results[measure] = acc
         _save_state(state_file, state)
         logger.info(f"Oracle with {measure} measurements: accuracy {acc} "
                     f"({lev['counted']} trials)")
+    _write_csv(csv_output, state, trial_mode)
     return results

@@ -109,6 +109,32 @@ def test_eval_oracle_checkpoint_and_resume(tmp_path):
         )
 
 
+def test_eval_oracle_incremental_csv(tmp_path):
+    """The accuracy-curve CSV is (re)written at every checkpoint, so a long
+    sweep killed mid-level still leaves the completed levels on disk."""
+    csv_file = str(tmp_path / "curve.csv")
+    results = hqc_eval_oracle(
+        make_random_state(9),
+        keyfile=str(tmp_path / "key.key"),
+        num_trials=3,
+        max_log2_measurements=2,
+        profile_measurements=2**6,
+        state_file=str(tmp_path / "state.json"),
+        checkpoint_every=1,  # every trial checkpoints -> CSV exists mid-level
+        csv_output=csv_file,
+    )
+    with open(csv_file) as f:
+        lines = f.read().strip().splitlines()
+    assert lines[0] == "measurements,accuracy,trials,decaps_per_decision"
+    rows = [ln.split(",") for ln in lines[1:]]
+    assert [int(r[0]) for r in rows] == [1, 2]
+    for r in rows:
+        m, acc, trials, dpd = int(r[0]), float(r[1]), int(r[2]), int(r[3])
+        assert acc == pytest.approx(results[m])
+        assert trials == 3
+        assert dpd == 2 * m  # differential mode: 2x measure decaps/decision
+
+
 def test_eval_oracle_reference_modes(tmp_path):
     """The reference's sequential-profiling + absolute-threshold pipeline
     (hqc_eval_oracle.py:39-112) stays available behind the mode knobs."""
