@@ -768,8 +768,12 @@ class MaskedCirculantCheckDecoder(CheckDecoder):
             self.max_iter,
             self.method,
         )
+        # one device->host transfer: per-array fetches pay the tunnel's
+        # per-transfer latency twice per decode
+        flat = np.asarray(jnp.concatenate([e_c[0], e_i[0].ravel()]))
+        N = self.params.N
         return self.stats_from_masked(
-            tracking, np.asarray(e_c[0]), np.asarray(e_i[0]), checks, y_sparse
+            tracking, flat[:N], flat[N:].reshape(e_i.shape[1:]), checks, y_sparse
         )
 
 

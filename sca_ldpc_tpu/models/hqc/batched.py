@@ -192,12 +192,14 @@ class BatchedCirculantDecodeExecutor(BatchedDecodeExecutor):
             )
             for (_tid, _dec, _tr, _checks, _y, pc, pi, sy, sh) in builds
         ]
-        jax.block_until_ready(outs)
-        for (tid, dec, tr, checks, y, *_rest), (e_c, e_i, _cv, _it) in zip(
-            builds, outs
-        ):
+        # ONE device->host transfer per class for the whole round: per-array
+        # np.asarray pays the tunnel's per-transfer latency (tens of ms) 16x
+        # twice per round — it was 74% of the batched attack's wall time.
+        e_c_all = np.asarray(jnp.stack([o[0][0] for o in outs]))
+        e_i_all = np.asarray(jnp.stack([o[1][0] for o in outs]))
+        for i, (tid, dec, tr, checks, y, *_rest) in enumerate(builds):
             self._results[tid] = dec.stats_from_masked(
-                tr, np.asarray(e_c[0]), np.asarray(e_i[0]), checks, y
+                tr, e_c_all[i], e_i_all[i], checks, y
             )
 
 
