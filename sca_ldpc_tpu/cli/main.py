@@ -82,6 +82,11 @@ class Commands(CommandsBase):
                             choices=["interleaved", "sequential"],
                             help="hqc_eval_oracle: drift-robust interleaved profiling "
                                  "or the reference's sequential phases")
+        parser.add_argument("--chunk-cap", type=int, default=None,
+                            help="hqc_eval_oracle: cap the differential-trial "
+                                 "interleave chunk (decaps per class before "
+                                 "switching); default measure//8 uncapped — "
+                                 "long chunks stop cancelling fast drift")
         parser.add_argument("--trial-mode", type=str, default="differential",
                             choices=["differential", "threshold"],
                             help="hqc_eval_oracle: drift-cancelling differential trials "
@@ -127,6 +132,7 @@ class Commands(CommandsBase):
             profile_mode=args.profile_mode,
             trial_mode=args.trial_mode,
             csv_output=args.csv_output,
+            chunk_cap=args.chunk_cap,
         )
         if args.csv_output:
             # the curve is (re)written at every checkpoint; this logs the

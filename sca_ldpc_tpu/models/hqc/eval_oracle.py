@@ -206,6 +206,7 @@ def hqc_eval_oracle(
     profile_mode="interleaved",
     trial_mode="differential",
     csv_output=None,
+    chunk_cap=None,
 ):
     """Full oracle-accuracy evaluation; returns {measurements: accuracy}.
 
@@ -247,6 +248,11 @@ def hqc_eval_oracle(
             raise ValueError(
                 f"state file {state_file} was recorded with trial_mode="
                 f"{state['trial_mode']!r}; refusing to mix with {trial_mode!r}"
+            )
+        if state.setdefault("chunk_cap", None) != chunk_cap:
+            raise ValueError(
+                f"state file {state_file} was recorded with chunk_cap="
+                f"{state['chunk_cap']!r}; refusing to mix with {chunk_cap!r}"
             )
         if state.get("key_fingerprint") not in (None, key_fp):
             raise ValueError(
@@ -301,7 +307,7 @@ def hqc_eval_oracle(
         threshold = t_nmod - gap / 2
         logger.info(f"Profiling threshold: {threshold}")
         state = {"threshold": threshold, "t_nmod": t_nmod, "t_ymod": t_ymod,
-                 "gap": gap, "trial_mode": trial_mode,
+                 "gap": gap, "trial_mode": trial_mode, "chunk_cap": chunk_cap,
                  "key_fingerprint": key_fp, "lib_fingerprint": lib_fp,
                  "profile_measurements": profile_measurements, "levels": {}}
         _save_state(state_file, state)
@@ -321,7 +327,13 @@ def hqc_eval_oracle(
         2x measure decaps (the CSV records decaps_per_decision)."""
         ctymod = modify_beyond_correction_limit(HQC, rng, ctnmod)
         if trial_mode == "differential":
+            # Drift cancels only across probe/ref chunk pairs; at high
+            # measurement counts measure//8 chunks span seconds, longer
+            # than ambient-load epochs.  chunk_cap bounds the interleave
+            # granularity (None = the original measure//8 behavior).
             chunk = max(16, measure // 8)
+            if chunk_cap is not None:
+                chunk = min(chunk, int(chunk_cap))
             t_probe, t_ref = _measure_interleaved(
                 HQC, priv, [ctymod, ctnmod], measure, chunk
             )

@@ -84,6 +84,16 @@ def test_eval_oracle_checkpoint_and_resume(tmp_path):
             trial_mode="threshold",
         )
 
+    # Tallies measured under one interleave-chunk cap must not mix with
+    # another (the drift-cancellation granularity differs); states that
+    # predate the knob count as chunk_cap=None.
+    with pytest.raises(ValueError, match="chunk_cap"):
+        hqc_eval_oracle(
+            make_random_state(6), keyfile=key_file, num_trials=1,
+            max_log2_measurements=1, profile_measurements=2**6,
+            state_file=state_file, chunk_cap=64,
+        )
+
     # A state profiled under a different keypair is stale (the key file was
     # silently regenerated): refuse to resume.
     state3["key_fingerprint"] = "0" * 64
