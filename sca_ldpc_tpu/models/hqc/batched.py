@@ -182,8 +182,11 @@ class BatchedCirculantDecodeExecutor(BatchedDecodeExecutor):
         )
         # One async dispatch per instance: all instances share a single
         # compiled (N, P_pad, W) program (shifts are data), and the device
-        # pipelines the dispatches — faster than vmapping the instance axis,
-        # which would turn the dynamic rolls into per-instance gathers.
+        # pipelines the dispatches.  Measured head-to-head against a vmapped
+        # instance axis (16 instances, quiet window): 0.25 s vs 0.27 s per
+        # round, bitwise-equal outputs — and the vmapped while_loop runs
+        # until ALL instances converge, forfeiting per-instance early exit,
+        # while shrinking live-instance counts would force recompiles.
         outs = [
             _multi_circulant_bp(
                 jnp.asarray(pc[None]), jnp.asarray(pi[None]),
