@@ -85,6 +85,49 @@ def test_dryrun_multichip_entry():
     g.dryrun_multichip(8)
 
 
+def test_multiprocess_matches_single_process(devices):
+    """REAL multi-controller run: 2 jax.distributed processes x 4 CPU devices
+    (gloo collectives) produce bit-identical global FER counts to one
+    process with 8 devices — the multi-host path end-to-end, not just a
+    virtual mesh (scripts/multihost_fer.py)."""
+    import json
+    import socket
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    script = Path(__file__).resolve().parent.parent / "scripts" / "multihost_fer.py"
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    common = [sys.executable, str(script), "--runs", "128", "--n", "127",
+              "--code-weight", "3", "--error-rate", "0.02", "--seed", "3"]
+
+    single = subprocess.run(
+        common + ["--force-cpu-devices", "8"],
+        capture_output=True, text=True, timeout=240,
+    )
+    assert single.returncode == 0, single.stderr[-2000:]
+    ref = json.loads(single.stdout.strip().splitlines()[-1])
+
+    procs = [
+        subprocess.Popen(
+            common + ["--force-cpu-devices", "4",
+                      "--coordinator", f"localhost:{port}",
+                      "--num-processes", "2", "--process-id", str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=240) for p in procs]
+    assert all(p.returncode == 0 for p in procs), [o[1][-2000:] for o in outs]
+    got = json.loads(outs[0][0].strip().splitlines()[-1])
+
+    assert got["process_count"] == 2 and got["device_count"] == 8
+    assert got["successes"] == ref["successes"]
+    assert got["frames"] == ref["frames"]
+
+
 def test_sharded_masked_attack_decode(devices):
     """8 independent masked-circulant attack decodes sharded over the mesh
     equal the unsharded per-instance decodes exactly."""
