@@ -53,10 +53,19 @@ class Commands(CommandsBase):
                             help="Decode batch parallelism (the reference's thread count maps "
                                  "to the device batch axis)")
         parser.add_argument("--oracle-backend", type=str, default="fast",
-                            choices=["fast", "native"],
+                            choices=["fast", "native", "timing"],
                             help="HQC oracle: 'fast' = incremental Walsh-spectrum updates "
                                  "(one decapsulation per plaintext, cross-checked), "
-                                 "'native' = decapsulate per query like the reference")
+                                 "'native' = decapsulate per query like the reference, "
+                                 "'timing' = answer every query from MEASURED decapsulation "
+                                 "timing (the real rejection-sampling side channel; "
+                                 "epsilon calibrated in-run)")
+        parser.add_argument("--timing-measure", type=int, default=64,
+                            help="timing oracle: cycle-timed decapsulations per class per "
+                                 "measurement decision (differential costs 2x this)")
+        parser.add_argument("--timing-calibration-trials", type=int, default=100,
+                            help="timing oracle: trials per class when calibrating "
+                                 "per-measurement accuracy (the attack's EPSILON)")
         parser.add_argument("--decode-backend", type=str, default="general",
                             choices=["general", "padded", "circulant"],
                             help="Attack decode: 'general' = checks-only [H|I] per size "
@@ -109,9 +118,21 @@ class Commands(CommandsBase):
             args.error_rate, args.param_set,
             oracle_backend=args.oracle_backend,
             decode_backend=args.decode_backend,
+            timing_measure=args.timing_measure,
+            timing_profile_measurements=2**args.profile_log2,
+            timing_calibration_trials=args.timing_calibration_trials,
+            timing_chunk_cap=args.chunk_cap,
         )
         df = tracking.decoder_stats_data_frame(label=args.label)
         logger.info(f"Stats: \n{df.to_string(index=False)}")
+        channel = getattr(tracking, "timing_channel", None)
+        if channel is not None:
+            acc_f, acc_s = channel.empirical_accuracy()
+            logger.info(
+                f"Timing channel: {channel.num_measurements} measurements, "
+                f"{channel.num_decaps} timed decapsulations; empirical "
+                f"accuracy vs ground truth: fail={acc_f} success={acc_s}"
+            )
         if args.csv_output:
             header = not exists(args.csv_output)
             df.to_csv(args.csv_output, mode="w" if header else "a",

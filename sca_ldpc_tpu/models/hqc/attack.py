@@ -219,6 +219,13 @@ class HqcOracle:
 
     ``epsilon = (p_keep_false, p_keep_true)``: probability the raw answer is
     NOT inverted, conditioned on the true answer (hqc.py:830-831, 859-864).
+
+    With ``timing_channel`` set (oracle_timing.TimingChannel), answers come
+    from **measured decapsulation timing** instead of ground-truth-plus-
+    simulated-noise: every amplification repeat performs a fresh differential
+    timing measurement, and EPSILON carries the channel's calibrated
+    per-measurement accuracy.  The ground-truth backend keeps running
+    underneath purely for live agreement statistics.
     """
 
     def __init__(
@@ -231,6 +238,7 @@ class HqcOracle:
         base_ct,
         backend="fast",
         crosscheck_every=0,
+        timing_channel=None,
     ):
         self.params = params
         self.tracking = tracking
@@ -241,6 +249,7 @@ class HqcOracle:
         self.ct = bytearray(base_ct)
         self.backend = backend
         self.crosscheck_every = crosscheck_every
+        self.timing = timing_channel
         self._raw_count = 0
         self.state = None
         if backend == "fast":
@@ -289,7 +298,17 @@ class HqcOracle:
 
     # -- noisy, certainty-amplified queries ---------------------------------
 
-    def _noisy(self, raw, debug):
+    def _noisy(self, raw, debug, vbit=None):
+        if self.timing is not None:
+            ct = self.ct
+            if vbit is not None:
+                ct = toggle_bits_in_v(ct, [vbit], self.params.N)
+            result = bool(self.timing.measure_success(ct))
+            if not debug:
+                self.tracking.num_oracle_calls += 1
+            if raw is not None:
+                self.timing.record_truth(result, raw)
+            return result, self.params.EPSILON[int(result)]
         keep_rate = self.params.EPSILON[int(raw)]
         invert = self.rng.rand() > keep_rate
         result = raw
@@ -302,13 +321,14 @@ class HqcOracle:
                 result = not result
         return result, keep_rate
 
-    def _amplify(self, raw, require, result_meta, debug):
+    def _amplify(self, raw, require, result_meta, debug, vbit=None):
         """Certainty amplification of one raw answer under epsilon noise:
         repeat until 1 - prod(1 - p_i) of the winning side crosses its
-        threshold (hqc.py:782-807)."""
+        threshold (hqc.py:782-807).  Under a timing channel every repeat is
+        a fresh measurement of the (ct, vbit) probe."""
         collected = ([], [])
         while True:
-            result, certainty = self._noisy(raw, debug)
+            result, certainty = self._noisy(raw, debug, vbit=vbit)
             collected[result].append(certainty)
             acc = 1.0 - prod(1.0 - p for p in collected[result])
             if acc >= require[result]:
@@ -326,7 +346,8 @@ class HqcOracle:
             block, bit = flipped_bit
             vbit = block * self.params.N2 + bit
         raw = self._raw(vbit)
-        return self._amplify(raw, (require_false, require_true), result_meta, debug)
+        return self._amplify(raw, (require_false, require_true), result_meta,
+                             debug, vbit=vbit)
 
     def query_candidates(self, block, bits, require_false, require_true, metas):
         """Batch-probe single-bit flips of ``bits`` within ``block``: raw
@@ -348,8 +369,8 @@ class HqcOracle:
             raws = [self._raw(v) for v in vbits]
         require = (require_false, require_true)
         return [
-            self._amplify(bool(raw), require, meta, debug=False)
-            for raw, meta in zip(raws, metas)
+            self._amplify(bool(raw), require, meta, debug=False, vbit=v)
+            for raw, meta, v in zip(raws, metas, vbits)
         ]
 
     def assert_success(self, expect):
@@ -868,13 +889,23 @@ def simulate_hqc_idealized_oracle(
     decode_executor=None,
     keypair=None,
     decode_backend="general",
+    timing_measure=64,
+    timing_profile_measurements=2**14,
+    timing_calibration_trials=100,
+    timing_chunk_cap=None,
 ):
     """Full idealized-oracle key-recovery attack.  Returns (success, tracking).
 
     ``oracle_backend``: "fast" answers probes via incremental Walsh-spectrum
     updates (one native decapsulation per plaintext), cross-checked against
     the native path every ``crosscheck_every`` raw queries; "native"
-    decapsulates on every query like the reference.
+    decapsulates on every query like the reference; "timing" answers every
+    query from **measured decapsulation timing** of the native implementation
+    (oracle_timing.TimingChannel) — the physical side channel the reference
+    only characterizes (hqc_eval_oracle.py) but never attacks with.  EPSILON
+    is then set from in-run calibration at ``timing_measure`` measurements
+    per decision, and the fast ground-truth oracle runs underneath solely
+    for live accuracy accounting (tracking.timing_stats).
     ``max_oracle_calls`` bounds the run (None = run to recovery).
     ``decode_executor`` lets an orchestrator batch decode calls across
     independent attack instances (see batched.py).  ``keypair`` supplies a
@@ -891,6 +922,27 @@ def simulate_hqc_idealized_oracle(
     tracking = HqcSimulationTracking(params)
 
     pub, priv = keypair if keypair is not None else read_or_generate_keypair(params.HQC, keyfile)
+
+    timing_channel = None
+    timing_gap = None
+    if oracle_backend == "timing":
+        from .oracle_timing import calibrate_timing_channel
+
+        timing_gap, acc_fail, acc_success, _ = calibrate_timing_channel(
+            params.HQC, rng, pub, priv, measure=timing_measure,
+            profile_measurements=timing_profile_measurements,
+            calibration_trials=timing_calibration_trials,
+            chunk_cap=timing_chunk_cap,
+        )
+        # Clamp into a sane certainty range: 1.0 would mark wrong checks as
+        # impossible (add_check escalates certainty-1.0 errors), and below
+        # ~0.55 amplification stops converging usefully.
+        params.EPSILON = (
+            min(max(acc_fail, 0.55), 0.995),
+            min(max(acc_success, 0.55), 0.995),
+        )
+        logger.info(f"Timing-oracle calibrated EPSILON: {params.EPSILON}")
+
     _x, y_sparse = params.HQC.secrets_from_key(priv)
     y_sparse = sorted(y_sparse)
     logger.info(f"y weight: {len(y_sparse)}, y bits: {y_sparse}")
@@ -917,11 +969,28 @@ def simulate_hqc_idealized_oracle(
         ct, _ss = params.HQC.encaps_with_plaintext_and_r1(pub, pt, r1_sparse)
 
         y_times_r1 = sparse_times_sparse(y_sparse, r1_sparse, params.N)
+        if oracle_backend == "timing":
+            if timing_channel is None:
+                from .oracle_timing import TimingChannel
+
+                timing_channel = TimingChannel(
+                    params.HQC, priv, ct, timing_gap,
+                    measure=timing_measure, chunk_cap=timing_chunk_cap,
+                )
+                # live counters (decaps, measurements, per-class empirical
+                # accuracy) stay reachable from the returned tracking
+                tracking.timing_channel = timing_channel
+            else:
+                timing_channel.rebase(ct)
         oracle = HqcOracle(
             params, tracking, priv, pt, rng, ct,
-            backend=oracle_backend, crosscheck_every=crosscheck_every,
+            backend="fast" if oracle_backend == "timing" else oracle_backend,
+            crosscheck_every=crosscheck_every,
+            timing_channel=timing_channel,
         )
-        if not isnan(error_rate) and error_rate > 0.0:
+        if oracle_backend == "timing" or (
+            not isnan(error_rate) and error_rate > 0.0
+        ):
             oracle.assert_raises = False
 
         tracking.reset_block_status()
