@@ -100,6 +100,14 @@ class Commands(CommandsBase):
                             choices=["differential", "threshold"],
                             help="hqc_eval_oracle: drift-cancelling differential trials "
                                  "or the reference's absolute threshold")
+        parser.add_argument("--decision-rule", type=str, default="expansion",
+                            choices=["expansion", "midpoint"],
+                            help="hqc_eval_oracle: differential decision boundary — "
+                                 "'expansion' = half a profiled seed-expansion cost "
+                                 "below the reference level (fail misread only when "
+                                 "the garbage re-encryption draws >=3 extra "
+                                 "expansions); 'midpoint' = half the class gap "
+                                 "(round-1 rule, non-monotone tail)")
         error_group = parser.add_mutually_exclusive_group(required=False)
         error_group.add_argument("--error-rate", type=float, default=0.00,
                                  help="Error rate of the simulated binary symmetric channel; "
@@ -154,6 +162,7 @@ class Commands(CommandsBase):
             trial_mode=args.trial_mode,
             csv_output=args.csv_output,
             chunk_cap=args.chunk_cap,
+            decision_rule=args.decision_rule,
         )
         if args.csv_output:
             # the curve is (re)written at every checkpoint; this logs the

@@ -27,6 +27,7 @@ Design deviations from the reference (behavior-preserving unless noted):
 
 import itertools
 import logging
+import os
 import pickle
 from math import isnan, prod
 
@@ -174,13 +175,23 @@ def bytes_compare(array, compare_to, delimit=False, pad=True):
 
 def read_or_generate_keypair(HQC, filename=None):
     if filename:
-        try:
+        if os.path.exists(filename):
+            # An existing but unreadable/corrupt key file is an error, not a
+            # cue to silently regenerate: an attack-vs-artifact comparison
+            # would otherwise silently target the wrong key.
             with open(filename, "rb") as f:
                 key = pickle.load(f)
-                logger.info(f"Loaded existing key from {filename}")
-                return key
-        except Exception:
-            pass
+            if (
+                not isinstance(key, tuple)
+                or len(key) != 2
+                or not all(isinstance(k, (bytes, bytearray)) for k in key)
+            ):
+                raise ValueError(
+                    f"key file {filename} does not contain an HQC "
+                    "(public, private) byte pair"
+                )
+            logger.info(f"Loaded existing key from {filename}")
+            return key
         key = HQC.keypair()  # randomness independent of --seed, like reference
         with open(filename, "wb") as f:
             pickle.dump(key, f)
@@ -836,9 +847,16 @@ def add_checks(
         if R % params.DECODE_EVERY == 0 and R != 0 and previous_decoding != R:
             previous_decoding = R
             unsatisfied = sum(c for (c, _p) in checks)
+            timing = getattr(tracking, "timing_channel", None)
+            decaps_note = (
+                # In timing mode each oracle call is one channel decision
+                # costing 2 x timing_measure real decapsulations.
+                f" ({timing.num_decaps} timed decapsulations)"
+                if timing is not None else ""
+            )
             logger.info(
-                f"{tracking.num_oracle_calls} decapsulation calls so far, "
-                f"{unsatisfied} unsatisfied checks out of {R}."
+                f"{tracking.num_oracle_calls} oracle calls so far"
+                f"{decaps_note}, {unsatisfied} unsatisfied checks out of {R}."
             )
             if decoder.decode(tracking, checks, y_sparse, executor=executor):
                 logger.info("Successfully decoded y")
@@ -905,7 +923,12 @@ def simulate_hqc_idealized_oracle(
     only characterizes (hqc_eval_oracle.py) but never attacks with.  EPSILON
     is then set from in-run calibration at ``timing_measure`` measurements
     per decision, and the fast ground-truth oracle runs underneath solely
-    for live accuracy accounting (tracking.timing_stats).
+    for live accuracy accounting (tracking.timing_channel).  In timing mode
+    each oracle call costs ``2 * timing_measure`` real decapsulations
+    (differential measurement); ``tracking.timing_channel.num_decaps``
+    carries the physical-measurement count, while ``num_oracle_calls``
+    (and the ``max_oracle_calls`` budget) keeps counting *decisions* so the
+    attack-cost currency stays comparable across backends.
     ``max_oracle_calls`` bounds the run (None = run to recovery).
     ``decode_executor`` lets an orchestrator batch decode calls across
     independent attack instances (see batched.py).  ``keypair`` supplies a
@@ -924,22 +947,24 @@ def simulate_hqc_idealized_oracle(
     pub, priv = keypair if keypair is not None else read_or_generate_keypair(params.HQC, keyfile)
 
     timing_channel = None
-    timing_gap = None
+    timing_params = None
     if oracle_backend == "timing":
         from .oracle_timing import calibrate_timing_channel
 
-        timing_gap, acc_fail, acc_success, _ = calibrate_timing_channel(
+        # calibrate_timing_channel re-profiles and ultimately raises if
+        # either class accuracy is below 0.6 — a broken/inverted channel
+        # must not feed the attack (advisor finding, round 1).
+        timing_params, acc_fail, acc_success, _ = calibrate_timing_channel(
             params.HQC, rng, pub, priv, measure=timing_measure,
             profile_measurements=timing_profile_measurements,
             calibration_trials=timing_calibration_trials,
             chunk_cap=timing_chunk_cap,
         )
-        # Clamp into a sane certainty range: 1.0 would mark wrong checks as
-        # impossible (add_check escalates certainty-1.0 errors), and below
-        # ~0.55 amplification stops converging usefully.
+        # Cap the upper end only: certainty 1.0 would mark wrong checks as
+        # impossible (add_check escalates certainty-1.0 errors).
         params.EPSILON = (
-            min(max(acc_fail, 0.55), 0.995),
-            min(max(acc_success, 0.55), 0.995),
+            min(acc_fail, 0.995),
+            min(acc_success, 0.995),
         )
         logger.info(f"Timing-oracle calibrated EPSILON: {params.EPSILON}")
 
@@ -974,7 +999,8 @@ def simulate_hqc_idealized_oracle(
                 from .oracle_timing import TimingChannel
 
                 timing_channel = TimingChannel(
-                    params.HQC, priv, ct, timing_gap,
+                    params.HQC, priv, ct, timing_params["gap"],
+                    margin=timing_params["margin"],
                     measure=timing_measure, chunk_cap=timing_chunk_cap,
                 )
                 # live counters (decaps, measurements, per-class empirical

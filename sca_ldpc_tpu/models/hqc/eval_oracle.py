@@ -105,6 +105,62 @@ def _make_profile_ct(HQC, rng, pub, mod):
     return ct
 
 
+def _make_expansion_ct(HQC, rng, pub, extra):
+    """Unmodified ciphertext whose re-encryption needs exactly-at-least
+    ``extra`` additional seed expansions (decodes successfully, so decaps
+    re-encrypts that same plaintext)."""
+    pt = search_distinguishable_plaintext(
+        HQC, rng, target_additional_seedexpansions=extra
+    )
+    ct, _ = HQC.encaps_with_plaintext_and_r1(pub, pt, [])
+    return ct
+
+
+def profile_expansion_cost(HQC, rng, pub, priv, measurements=2**14,
+                           lo_extra=1, hi_extra=3, chunk=2**10):
+    """Measure the decapsulation-cycle cost of ONE extra seed expansion.
+
+    Two unmodified ciphertexts with known extra-seedexpansion counts
+    (``lo_extra`` and ``hi_extra``) are cycle-timed interleaved; the
+    per-expansion cost is the paired within-cycle first-percentile
+    difference divided by the expansion-count difference.  This is the unit
+    the expansion-aware decision rule (``decision_rule="expansion"``) needs:
+    the timing floor of a decapsulation is ``base + extra * cost``.
+
+    Returns ``(cost, t_lo, t_hi)`` (cost None if no usable samples).
+    """
+    ct_lo = _make_expansion_ct(HQC, rng, pub, lo_extra)
+    ct_hi = _make_expansion_ct(HQC, rng, pub, hi_extra)
+    totals, cycles = _measure_interleaved(
+        HQC, priv, [ct_lo, ct_hi], measurements, chunk, cycle_stats=True
+    )
+    t_lo, t_hi = totals
+    diffs = sorted(
+        hi - lo for lo, hi in cycles if lo is not None and hi is not None
+    )
+    if not diffs:
+        return None, t_lo, t_hi
+    cost = diffs[len(diffs) // 2] / (hi_extra - lo_extra)
+    return cost, t_lo, t_hi
+
+
+def measure_garbage_expansion_distribution(HQC, rng, samples=4096):
+    """Empirical distribution of extra seed expansions for a *random*
+    plaintext — the re-encryption a failing decapsulation performs.
+
+    This is the intrinsic ceiling of the timing oracle: a failing probe
+    whose garbage re-encryption happens to draw >= T extra expansions
+    (T = the attack plaintext's count, normally 3) is indistinguishable
+    from a success.  Returns ``{extra: probability}``.
+    """
+    ptlen = len(HQC.new_plaintext())
+    counts = {}
+    for _ in range(samples):
+        extra = (HQC.num_rejections(rng.bytes(ptlen)) // 1000) - 3
+        counts[extra] = counts.get(extra, 0) + 1
+    return {k: v / samples for k, v in sorted(counts.items())}
+
+
 def profiling_oracle(HQC, rng, pub, priv, why, mod, num_profiles=4,
                      measurements=2**16):
     """Sequential (reference-exact) profiling of one ciphertext class:
@@ -207,6 +263,7 @@ def hqc_eval_oracle(
     trial_mode="differential",
     csv_output=None,
     chunk_cap=None,
+    decision_rule="expansion",
 ):
     """Full oracle-accuracy evaluation; returns {measurements: accuracy}.
 
@@ -223,6 +280,21 @@ def hqc_eval_oracle(
     ``profile_mode``/``trial_mode`` select the drift-robust methodology
     (module docstring); ``("sequential", "threshold")`` reproduces the
     reference exactly.
+
+    ``decision_rule`` (differential mode only):
+
+    - ``"expansion"`` (default): classify by whether the probe's timing
+      floor is within half an *expansion cost* of the reference's — the
+      boundary sits 0.5 seed-expansions below the reference level, so a
+      failing probe is misread only when its garbage re-encryption draws
+      >= 3 extra expansions (the attack plaintext's own count).  The
+      per-expansion cost is profiled directly (profile_expansion_cost).
+    - ``"midpoint"``: the round-1 rule — boundary at half the profiled
+      *class gap* (~1.2 expansions below reference, since the failing
+      class averages ~1 extra expansion).  That misreads every garbage
+      re-encryption with >= 2 extra expansions (~10%), and those probes
+      converge to the wrong side as measurements grow: the cause of the
+      non-monotone accuracy tail in the round-1 artifact.
     """
     import hashlib
 
@@ -248,6 +320,12 @@ def hqc_eval_oracle(
             raise ValueError(
                 f"state file {state_file} was recorded with trial_mode="
                 f"{state['trial_mode']!r}; refusing to mix with {trial_mode!r}"
+            )
+        if state.setdefault("decision_rule", "midpoint") != decision_rule:
+            raise ValueError(
+                f"state file {state_file} was recorded with decision_rule="
+                f"{state['decision_rule']!r}; refusing to mix with "
+                f"{decision_rule!r}"
             )
         if state.setdefault("chunk_cap", None) != chunk_cap:
             raise ValueError(
@@ -275,10 +353,21 @@ def hqc_eval_oracle(
                 logger.warning(f"state file predates {fp_key}; adopting the "
                                "current value")
                 state[fp_key] = fp
+    if decision_rule not in ("expansion", "midpoint"):
+        raise ValueError(f"unknown decision_rule: {decision_rule!r}")
+    if trial_mode != "differential":
+        # The expansion boundary is relative to the reference ciphertext's
+        # level; threshold mode uses the reference's absolute rule.
+        decision_rule = "midpoint"
+
     if "threshold" in state:
         threshold = state["threshold"]
         gap = state["gap"]
-        logger.info(f"Resuming with checkpointed threshold {threshold}, gap {gap}")
+        margin = state.get("margin", gap / 2)
+        logger.info(
+            f"Resuming with checkpointed threshold {threshold}, gap {gap}, "
+            f"margin {margin}"
+        )
     else:
         profiling_oracle(HQC, rng, pub, priv, "warmup", False, num_profiles=1,
                          measurements=min(profile_measurements, 2**14))
@@ -306,8 +395,38 @@ def hqc_eval_oracle(
 
         threshold = t_nmod - gap / 2
         logger.info(f"Profiling threshold: {threshold}")
+
+        margin = gap / 2
+        expansion_cost = None
+        if decision_rule == "expansion":
+            for _ in range(10):
+                expansion_cost, t_lo, t_hi = profile_expansion_cost(
+                    HQC, rng, pub, priv,
+                    measurements=min(profile_measurements, 2**14),
+                )
+                logger.info(
+                    f"Per-seedexpansion cost: {expansion_cost} cycles "
+                    f"(lo {t_lo}, hi {t_hi})"
+                )
+                if expansion_cost is not None and expansion_cost > 0:
+                    break
+            else:
+                raise RuntimeError(
+                    "expansion-cost profiling failed (no positive cost); "
+                    "host too noisy — retry or use decision_rule='midpoint'"
+                )
+            margin = expansion_cost / 2
+            garbage = measure_garbage_expansion_distribution(HQC, rng)
+            ceiling = sum(p for k, p in garbage.items() if k < 3)
+            logger.info(
+                f"Garbage-expansion distribution: {garbage}; predicted "
+                f"fail-class accuracy ceiling P(extra < 3) = {ceiling:.4f}"
+            )
+
         state = {"threshold": threshold, "t_nmod": t_nmod, "t_ymod": t_ymod,
                  "gap": gap, "trial_mode": trial_mode, "chunk_cap": chunk_cap,
+                 "decision_rule": decision_rule, "margin": margin,
+                 "expansion_cost": expansion_cost,
                  "key_fingerprint": key_fp, "lib_fingerprint": lib_fp,
                  "profile_measurements": profile_measurements, "levels": {}}
         _save_state(state_file, state)
@@ -339,7 +458,7 @@ def hqc_eval_oracle(
             )
             if t_probe is None or t_ref is None:
                 return None
-            decision_unmodified = (t_probe - t_ref) > -gap / 2
+            decision_unmodified = (t_probe - t_ref) > -margin
         else:
             t = oracle(HQC, ctymod, priv, measure)
             if t is None:

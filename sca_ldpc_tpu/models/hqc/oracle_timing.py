@@ -3,36 +3,43 @@
 The reference stops at *evaluating* its rejection-sampling timing oracle
 (simulate/hqc_eval_oracle.py measures an accuracy-vs-measurements curve) and
 runs the actual attack only against the idealized oracle with simulated
-epsilon noise (simulate/hqc.py:809-871).  This module closes the loop the
-reference leaves open: it drives the full chosen-ciphertext attack with
-decisions coming from **measured decapsulation timing** of the native HQC
-implementation (csrc/hqc_core.cpp), so key recovery happens end-to-end from
-the physical side channel.
+epsilon noise (simulate/hqc.py:809-871).  This module wires the measured
+channel into the attack itself: with ``oracle_backend="timing"`` every
+oracle decision comes from cycle-timed decapsulations of the native HQC
+implementation (csrc/hqc_core.cpp), not from ground truth plus simulated
+noise.  See BASELINE.md ("Timing-channel key recovery") for the measured
+end-to-end run artifact.
 
 The channel is the one the reference characterizes (hqc.rs:175-200): decaps
 re-encrypts with the decoded plaintext's randomness, and the attack plaintext
 is chosen to need >=3 extra seed-expander expansions
 (search_distinguishable_plaintext, hqc.py:96-124).  A decoding failure
-re-encrypts a *different* plaintext with (almost surely) no extra expansions,
-so failing decapsulations are measurably faster.
+re-encrypts a *different* (garbage) plaintext whose extra-expansion count is
+that of a random plaintext — usually 0 or 1 — so failing decapsulations are
+measurably faster.
 
 Each oracle decision is a **drift-robust differential measurement** (see
 eval_oracle.py): the probe ciphertext and the attack's known-good base
-ciphertext are cycle-timed in interleaved chunks and classified by the
-difference of their first-percentile estimates against the profiled gap.
-Per-decision accuracy is limited (~0.93 at 64 measurements on a noisy shared
-host, artifacts/hqc128_oracle_accuracy.csv); the attack absorbs that exactly
-like idealized epsilon noise — certainty amplification repeats measurements
-until the required confidence, and the LDPC decode weighs each check by its
-accumulated certainty.  That is the paper's central claim, demonstrated here
-against a real channel rather than a simulated one.
+ciphertext are cycle-timed in interleaved chunks and the first-percentile
+difference is compared against a decision margin of HALF ONE PROFILED
+SEED-EXPANSION COST below the reference level.  With that boundary a failing
+probe is misclassified only when its garbage re-encryption draws >= 3 extra
+expansions (probability = the intrinsic channel ceiling, measured by
+eval_oracle.measure_garbage_expansion_distribution), rather than >= 2 as
+under the round-1 midpoint-of-class-gap rule.  Per-decision accuracy is
+calibrated in-run; the attack absorbs the residual error exactly like
+idealized epsilon noise — certainty amplification repeats measurements until
+the required confidence, and the LDPC decode weighs each check by its
+accumulated certainty.
 """
 
 import logging
 
 from .eval_oracle import (
     _measure_interleaved,
+    measure_garbage_expansion_distribution,
     modify_beyond_correction_limit,
+    profile_expansion_cost,
     profiling_oracle,
     profiling_oracle_interleaved,
 )
@@ -48,16 +55,20 @@ class TimingChannel:
     True = "decapsulation re-encrypted the distinguishable plaintext"
     (decode success), False = decode failure.
 
-    ``gap`` is the profiled first-percentile cycle difference between the
-    unmodified and modified classes (positive: failures are faster).
+    ``margin`` is the decision boundary in cycles: the probe is declared a
+    failure when its first-percentile estimate is more than ``margin``
+    cycles *below* the reference's.  The expansion-aware calibration sets it
+    to half the per-seed-expansion cost; ``gap`` (the profiled class
+    separation, positive: failures are faster) is kept for logging.
     """
 
-    def __init__(self, HQC, priv, base_ct, gap, measure=64, chunk_cap=None,
-                 max_retries=8):
+    def __init__(self, HQC, priv, base_ct, gap, margin=None, measure=64,
+                 chunk_cap=None, max_retries=8):
         self.HQC = HQC
         self.priv = priv
         self.base_ct = bytes(base_ct)
         self.gap = gap
+        self.margin = gap / 2 if margin is None else margin
         self.measure = int(measure)
         self.chunk_cap = chunk_cap
         self.max_retries = max_retries
@@ -87,7 +98,7 @@ class TimingChannel:
             self.num_measurements += 1
             self.num_decaps += 2 * self.measure
             if t_probe is not None and t_ref is not None:
-                return (t_probe - t_ref) > -self.gap / 2
+                return (t_probe - t_ref) > -self.margin
         raise RuntimeError(
             "timing channel: no usable samples after "
             f"{self.max_retries} measurement attempts (all discarded?)"
@@ -111,6 +122,27 @@ class TimingChannel:
         )
 
 
+def _success_probe_ct(HQC, rng, base_ct):
+    """A within-correction-limit modification of ``base_ct``: flips a few
+    whole RM blocks (well inside the outer RS correction radius DELTA) plus
+    a handful of stray bits, so decoding still succeeds.  This is what real
+    attack success-probes look like — calibrating the success class on the
+    byte-identical base ciphertext would hide any residual data-dependence
+    of decode time (advisor finding, round 1)."""
+    from .attack import toggle_bits_in_v, toggle_outer_block
+
+    N = HQC.params("N")
+    N2 = HQC.params("N2")
+    N1 = HQC.params("N1")
+    DELTA = HQC.params("DELTA")
+    nblocks = max(1, DELTA - 2)
+    ct = bytes(base_ct)
+    for block in rng.choice(N1, nblocks, replace=False):
+        ct = toggle_outer_block(ct, int(block), N, N2)
+    stray = [int(b) for b in rng.choice(N, 4, replace=False)]
+    return toggle_bits_in_v(ct, stray, N)
+
+
 def calibrate_timing_channel(
     HQC,
     rng,
@@ -121,18 +153,27 @@ def calibrate_timing_channel(
     calibration_trials=100,
     chunk_cap=None,
     max_profile_attempts=10,
+    min_accuracy=0.6,
+    max_calibration_attempts=3,
 ):
     """Profile the timing channel and measure its per-class accuracy.
 
-    Returns ``(gap, acc_fail, acc_success, calib_ct)`` where ``gap`` is the
-    profiled class separation, ``acc_fail``/``acc_success`` are the empirical
-    probabilities of correctly classifying a failing / succeeding ciphertext
-    at ``measure`` measurements per decision (the attack's per-measurement
-    EPSILON), and ``calib_ct`` is the unmodified ciphertext used.
+    Returns ``(channel_params, acc_fail, acc_success, calib_ct)`` where
+    ``channel_params`` is a dict with the profiled ``gap``, per-expansion
+    ``cost`` and decision ``margin``; ``acc_fail``/``acc_success`` are the
+    empirical probabilities of correctly classifying a failing / succeeding
+    ciphertext at ``measure`` measurements per decision (the attack's
+    per-measurement EPSILON), and ``calib_ct`` is the unmodified ciphertext
+    used.
 
     Profiling uses the interleaved drift-robust methodology
     (eval_oracle.profiling_oracle_interleaved); a non-positive gap (profile
-    corrupted by ambient load) is retried.
+    corrupted by ambient load) is retried.  The success class is calibrated
+    against within-correction-limit *modified* ciphertexts (realistic
+    attack probes), not the byte-identical base.  If either class accuracy
+    comes out below ``min_accuracy`` the channel is re-profiled and
+    re-calibrated (a broken or inverted channel must not silently feed the
+    attack); after ``max_calibration_attempts`` failures this raises.
     """
     from .attack import search_distinguishable_plaintext
 
@@ -140,42 +181,80 @@ def calibrate_timing_channel(
     profiling_oracle(HQC, rng, pub, priv, "warmup", False, num_profiles=1,
                      measurements=min(profile_measurements, 2**13))
 
-    gap = None
-    for attempt in range(max_profile_attempts):
-        t_nmod, t_ymod, gap = profiling_oracle_interleaved(
-            HQC, rng, pub, priv, measurements=profile_measurements
-        )
-        logger.info(
-            f"Timing profile attempt {attempt}: nmod={t_nmod} ymod={t_ymod} "
-            f"gap={gap}"
-        )
-        if gap is not None and gap > 0:
-            break
-    else:
-        raise RuntimeError(
-            f"timing channel profiling failed: no positive gap in "
-            f"{max_profile_attempts} attempts (host too noisy?)"
-        )
-
-    pt = search_distinguishable_plaintext(HQC, rng)
-    ctnmod, _ = HQC.encaps_with_plaintext_and_r1(pub, pt, [])
-    channel = TimingChannel(HQC, priv, ctnmod, gap, measure=measure,
-                            chunk_cap=chunk_cap)
-
-    correct_fail = 0
-    for _ in range(calibration_trials):
-        ctymod = modify_beyond_correction_limit(HQC, rng, ctnmod)
-        if not channel.measure_success(ctymod):
-            correct_fail += 1
-    correct_succ = 0
-    for _ in range(calibration_trials):
-        if channel.measure_success(ctnmod):
-            correct_succ += 1
-
-    acc_fail = correct_fail / calibration_trials
-    acc_success = correct_succ / calibration_trials
+    garbage = measure_garbage_expansion_distribution(HQC, rng)
+    ceiling = sum(p for k, p in garbage.items() if k < 3)
     logger.info(
-        f"Timing channel calibration at {measure} measurements/decision: "
-        f"acc_fail={acc_fail:.3f} acc_success={acc_success:.3f} (gap {gap})"
+        f"Garbage-expansion distribution: {garbage}; intrinsic fail-class "
+        f"ceiling P(extra < 3) = {ceiling:.4f}"
     )
-    return gap, acc_fail, acc_success, ctnmod
+
+    last_err = None
+    for calib_attempt in range(max_calibration_attempts):
+        gap = None
+        for attempt in range(max_profile_attempts):
+            t_nmod, t_ymod, gap = profiling_oracle_interleaved(
+                HQC, rng, pub, priv, measurements=profile_measurements
+            )
+            logger.info(
+                f"Timing profile attempt {attempt}: nmod={t_nmod} "
+                f"ymod={t_ymod} gap={gap}"
+            )
+            if gap is not None and gap > 0:
+                break
+        else:
+            raise RuntimeError(
+                f"timing channel profiling failed: no positive gap in "
+                f"{max_profile_attempts} attempts (host too noisy?)"
+            )
+
+        for attempt in range(max_profile_attempts):
+            cost, t_lo, t_hi = profile_expansion_cost(
+                HQC, rng, pub, priv,
+                measurements=min(profile_measurements, 2**14),
+            )
+            logger.info(f"Per-seedexpansion cost: {cost} cycles "
+                        f"(lo {t_lo}, hi {t_hi})")
+            if cost is not None and cost > 0:
+                break
+        else:
+            raise RuntimeError(
+                f"expansion-cost profiling failed: no positive cost in "
+                f"{max_profile_attempts} attempts (host too noisy?)"
+            )
+        margin = cost / 2
+
+        pt = search_distinguishable_plaintext(HQC, rng)
+        ctnmod, _ = HQC.encaps_with_plaintext_and_r1(pub, pt, [])
+        channel = TimingChannel(HQC, priv, ctnmod, gap, margin=margin,
+                                measure=measure, chunk_cap=chunk_cap)
+
+        correct_fail = 0
+        for _ in range(calibration_trials):
+            ctymod = modify_beyond_correction_limit(HQC, rng, ctnmod)
+            if not channel.measure_success(ctymod):
+                correct_fail += 1
+        correct_succ = 0
+        for _ in range(calibration_trials):
+            ctok = _success_probe_ct(HQC, rng, ctnmod)
+            if channel.measure_success(ctok):
+                correct_succ += 1
+
+        acc_fail = correct_fail / calibration_trials
+        acc_success = correct_succ / calibration_trials
+        logger.info(
+            f"Timing channel calibration at {measure} measurements/decision: "
+            f"acc_fail={acc_fail:.3f} acc_success={acc_success:.3f} "
+            f"(gap {gap}, expansion cost {cost}, margin {margin})"
+        )
+        if acc_fail >= min_accuracy and acc_success >= min_accuracy:
+            params = {"gap": gap, "cost": cost, "margin": margin,
+                      "garbage_distribution": garbage,
+                      "fail_ceiling": ceiling}
+            return params, acc_fail, acc_success, ctnmod
+        last_err = (
+            f"calibrated accuracy below {min_accuracy} (acc_fail={acc_fail}, "
+            f"acc_success={acc_success}) — channel broken or host too noisy"
+        )
+        logger.warning(last_err + "; re-profiling")
+
+    raise RuntimeError(f"timing channel calibration failed: {last_err}")
