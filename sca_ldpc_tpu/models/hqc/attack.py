@@ -336,13 +336,29 @@ class HqcOracle:
         """Certainty amplification of one raw answer under epsilon noise:
         repeat until 1 - prod(1 - p_i) of the winning side crosses its
         threshold (hqc.py:782-807).  Under a timing channel every repeat is
-        a fresh measurement of the (ct, vbit) probe."""
+        a fresh measurement of the (ct, vbit) probe.
+
+        Physical channels have PER-CIPHERTEXT systematic error the
+        amplification product cannot see: a failing probe whose garbage
+        re-encryption draws >= 3 extra seed expansions reads "success" on
+        every repeat (probability = the calibrated fail ceiling, ~0.005),
+        so the iid certainty product would reach 0.9999 on a wrong answer
+        and hand the decoder a poisoned near-certain check.  Repeats of
+        the SAME probe are correlated; only different probes (different
+        ciphertexts -> fresh garbage) are independent.  CERTAINTY_CAP
+        therefore bounds both the amplification target and the reported
+        certainty at the physical ceiling per result class."""
+        cap = getattr(self.params, "CERTAINTY_CAP", None)
         collected = ([], [])
         while True:
             result, certainty = self._noisy(raw, debug, vbit=vbit)
             collected[result].append(certainty)
             acc = 1.0 - prod(1.0 - p for p in collected[result])
-            if acc >= require[result]:
+            threshold = require[result]
+            if cap is not None:
+                acc = min(acc, cap[result])
+                threshold = min(threshold, cap[result])
+            if acc >= threshold:
                 if isinstance(result_meta, dict):
                     result_meta["certainty"] = acc
                 return result
@@ -966,7 +982,19 @@ def simulate_hqc_idealized_oracle(
             min(acc_fail, 0.995),
             min(acc_success, 0.995),
         )
-        logger.info(f"Timing-oracle calibrated EPSILON: {params.EPSILON}")
+        # Physical certainty ceilings (see HqcOracle._amplify): a "success"
+        # reading can never be more certain than P(garbage re-encryption
+        # draws < 3 extra expansions) no matter how often it is repeated;
+        # a "failure" reading's systematic risk is drift-only (smaller).
+        fail_ceiling = timing_params["fail_ceiling"]
+        params.CERTAINTY_CAP = (
+            0.9995,                                  # result=False readings
+            max(0.9, min(0.998, fail_ceiling)),      # result=True readings
+        )
+        logger.info(
+            f"Timing-oracle calibrated EPSILON: {params.EPSILON}, "
+            f"certainty cap {params.CERTAINTY_CAP}"
+        )
 
     _x, y_sparse = params.HQC.secrets_from_key(priv)
     y_sparse = sorted(y_sparse)

@@ -106,40 +106,57 @@ def _make_profile_ct(HQC, rng, pub, mod):
 
 
 def _make_expansion_ct(HQC, rng, pub, extra):
-    """Unmodified ciphertext whose re-encryption needs exactly-at-least
-    ``extra`` additional seed expansions (decodes successfully, so decaps
-    re-encrypts that same plaintext)."""
-    pt = search_distinguishable_plaintext(
-        HQC, rng, target_additional_seedexpansions=extra
-    )
-    ct, _ = HQC.encaps_with_plaintext_and_r1(pub, pt, [])
-    return ct
+    """Unmodified ciphertext whose re-encryption needs EXACTLY ``extra``
+    additional seed expansions (decodes successfully, so decaps re-encrypts
+    that same plaintext).  Exactness matters: the >=-target search the
+    attack uses would overshoot ~20% of the time and bias the per-expansion
+    cost estimate."""
+    ptlen = len(HQC.new_plaintext())
+    while True:
+        pt = rng.bytes(ptlen)
+        if (HQC.num_rejections(pt) // 1000) - 3 == extra:
+            ct, _ = HQC.encaps_with_plaintext_and_r1(pub, pt, [])
+            return ct
 
 
 def profile_expansion_cost(HQC, rng, pub, priv, measurements=2**14,
-                           lo_extra=1, hi_extra=3, chunk=2**10):
+                           lo_extra=0, hi_extra=3, num_profiles=2,
+                           chunk=2**10):
     """Measure the decapsulation-cycle cost of ONE extra seed expansion.
 
-    Two unmodified ciphertexts with known extra-seedexpansion counts
-    (``lo_extra`` and ``hi_extra``) are cycle-timed interleaved; the
-    per-expansion cost is the paired within-cycle first-percentile
-    difference divided by the expansion-count difference.  This is the unit
-    the expansion-aware decision rule (``decision_rule="expansion"``) needs:
-    the timing floor of a decapsulation is ``base + extra * cost``.
+    ``num_profiles`` unmodified ciphertexts per class with EXACTLY
+    ``lo_extra`` / ``hi_extra`` extra seed expansions are cycle-timed
+    interleaved; the per-expansion cost is the median over round-robin
+    cycles of the within-cycle class-mean first-percentile difference,
+    divided by the expansion-count span.  The wide default span (0 vs 3)
+    divides the measurement noise by 3 — single-expansion spans estimated
+    the ~1.5-2k-cycle cost with +-1k-cycle run-to-run scatter on this host.
+    This is the unit the expansion-aware decision rule
+    (``decision_rule="expansion"``) needs: the timing floor of a
+    decapsulation is ``base + extra * cost``.
 
     Returns ``(cost, t_lo, t_hi)`` (cost None if no usable samples).
     """
-    ct_lo = _make_expansion_ct(HQC, rng, pub, lo_extra)
-    ct_hi = _make_expansion_ct(HQC, rng, pub, hi_extra)
+    cts = [_make_expansion_ct(HQC, rng, pub, lo_extra)
+           for _ in range(num_profiles)]
+    cts += [_make_expansion_ct(HQC, rng, pub, hi_extra)
+            for _ in range(num_profiles)]
     totals, cycles = _measure_interleaved(
-        HQC, priv, [ct_lo, ct_hi], measurements, chunk, cycle_stats=True
+        HQC, priv, cts, measurements, chunk, cycle_stats=True
     )
-    t_lo, t_hi = totals
-    diffs = sorted(
-        hi - lo for lo, hi in cycles if lo is not None and hi is not None
-    )
+    lo_ts = [t for t in totals[:num_profiles] if t is not None]
+    hi_ts = [t for t in totals[num_profiles:] if t is not None]
+    t_lo = sum(lo_ts) / len(lo_ts) if lo_ts else None
+    t_hi = sum(hi_ts) / len(hi_ts) if hi_ts else None
+    diffs = []
+    for cyc in cycles:
+        cl = [t for t in cyc[:num_profiles] if t is not None]
+        ch = [t for t in cyc[num_profiles:] if t is not None]
+        if cl and ch:
+            diffs.append(sum(ch) / len(ch) - sum(cl) / len(cl))
     if not diffs:
         return None, t_lo, t_hi
+    diffs.sort()
     cost = diffs[len(diffs) // 2] / (hi_extra - lo_extra)
     return cost, t_lo, t_hi
 

@@ -139,7 +139,8 @@ def _success_probe_ct(HQC, rng, base_ct):
     ct = bytes(base_ct)
     for block in rng.choice(N1, nblocks, replace=False):
         ct = toggle_outer_block(ct, int(block), N, N2)
-    stray = [int(b) for b in rng.choice(N, 4, replace=False)]
+    # stray bit indices live in the v part's N1*N2-bit space
+    stray = [int(b) for b in rng.choice(N1 * N2, 4, replace=False)]
     return toggle_bits_in_v(ct, stray, N)
 
 

@@ -26,18 +26,19 @@ def make_sharded_masked_decode(mesh, max_iter=100, method="product_sum"):
     n_dev = mesh.devices.size
     spec = P(("data", "model"))
 
+    def one(pc1, pi1, sy1, sh1):
+        e_c, e_i, conv, _it = _multi_circulant_bp(
+            pc1[None], pi1[None], sy1[None], sh1, max_iter, method
+        )
+        return e_c[0], e_i[0], conv[0]
+
     def local(pc, pi, sy, sh):
-        outs = [
-            _multi_circulant_bp(
-                pc[j : j + 1], pi[j : j + 1], sy[j : j + 1], sh[j],
-                max_iter, method,
-            )
-            for j in range(pc.shape[0])
-        ]
-        e_c = jnp.concatenate([o[0] for o in outs], axis=0)
-        e_i = jnp.concatenate([o[1] for o in outs], axis=0)
-        conv = jnp.concatenate([o[2] for o in outs], axis=0)
-        return e_c, e_i, conv
+        # vmap over the device-local instances: the decode work batches
+        # across the vector lanes instead of serializing inside one program
+        # (round-1 ran a sequential Python loop here; the early-exit
+        # while_loop now runs to the max iteration count among local
+        # instances, which the batching amortizes).
+        return jax.vmap(one)(pc, pi, sy, sh)
 
     def decode(prior_c, prior_i, syn, shifts):
         assert prior_c.shape[0] % n_dev == 0, (

@@ -147,8 +147,16 @@ def simulate_frame_error_rate_qary(
                 empty = ~mask.any(axis=1)
         errs = mask.sum(axis=1)
 
-        channel = np.where(mask[:, :, None], bad[None, None, :], good[None, None, :])
-        decoded = np.asarray(decoder.min_sum(jnp.asarray(channel)))
+        # Build the [B, n, Q] channel tensor ON DEVICE from the [B, n] mask
+        # and the two [Q] distribution rows — only the bool mask crosses the
+        # host boundary (the round-1 version assembled and shipped the full
+        # f32 tensor every batch).
+        channel = jnp.where(
+            jnp.asarray(mask)[:, :, None],
+            jnp.asarray(bad)[None, None, :],
+            jnp.asarray(good)[None, None, :],
+        )
+        decoded = np.asarray(decoder.min_sum(channel))
         ok = (decoded == 0).all(axis=1)
         successes += int(ok.sum())
         if ok.any():

@@ -171,3 +171,123 @@ def test_sharded_masked_attack_decode(devices):
         assert (np.asarray(rc[0]) == e_c[i]).all()
         assert (np.asarray(ri[0]) == e_i[i]).all()
         assert bool(rconv[0]) == bool(conv[i])
+
+
+def test_sharded_qary_fer(devices):
+    """Sharded q-ary FER step: on-device channel sampling + batched decode;
+    8-device and 1-device meshes produce IDENTICAL statistics (the sharding
+    constraint must not change values), and success statistics are sane."""
+    from sca_ldpc_tpu.codes.make_code import make_qc_parity_check_matrix
+    from sca_ldpc_tpu.ops.qary import QaryDecoder
+    from sca_ldpc_tpu.parallel.qary import make_sharded_qary_fer_step
+
+    rng = make_random_state(5)
+    H = make_qc_parity_check_matrix(16, 3, 2, rng)
+    dec = QaryDecoder(H.astype(np.int8), b_range=1, max_iter=8)
+
+    mesh8 = make_mesh(data=8, model=1)
+    mesh1 = make_mesh(data=1, model=1, devices=[devices[0]])
+    key = jax.random.PRNGKey(3)
+    with mesh8:
+        s8 = make_sharded_qary_fer_step(dec, 0.05, mesh8)(key, 32)
+    with mesh1:
+        s1 = make_sharded_qary_fer_step(dec, 0.05, mesh1)(key, 32)
+    r8 = [int(x) for x in s8]
+    r1 = [int(x) for x in s1]
+    assert r8 == r1
+    succ, max_ok, min_fail, frames = r8
+    assert 0 <= succ <= frames == 32
+    if succ:
+        assert max_ok >= 1  # every frame has >= 1 noisy symbol (redraw rule)
+
+
+def test_sharded_qary_fer_simulation_runs(devices):
+    from sca_ldpc_tpu.codes.make_code import make_qc_parity_check_matrix
+    from sca_ldpc_tpu.ops.qary import QaryDecoder
+    from sca_ldpc_tpu.parallel.qary import sharded_qary_fer_simulation
+
+    rng = make_random_state(6)
+    H = make_qc_parity_check_matrix(16, 3, 2, rng)
+    dec = QaryDecoder(H.astype(np.int8), b_range=1, max_iter=8)
+    mesh = make_mesh(data=4, model=2)
+    with mesh:
+        succ, max_ok, min_fail, frames = sharded_qary_fer_simulation(
+            dec, 0.05, 40, jax.random.PRNGKey(1), mesh
+        )
+    assert frames >= 40
+    assert 0 <= succ <= frames
+    assert min_fail is None or min_fail >= 1
+
+
+def test_sharded_special_decode_matches_unsharded(devices):
+    """Batch-sharded two-alphabet decode == per-instance unsharded decode."""
+    from sca_ldpc_tpu.ops.qary_special import QarySpecialDecoder
+    from sca_ldpc_tpu.parallel.qary import make_sharded_special_decode
+
+    rng = make_random_state(7)
+    nb, r, sw, b, bsum = 24, 8, 3, 2, 6
+    H = np.zeros((r, nb + r), np.int8)
+    for i in range(r):
+        cols = rng.choice(nb, sw, replace=False)
+        H[i, cols] = rng.choice([-1, 1], sw)
+        H[i, nb + i] = 1
+    dec = QarySpecialDecoder(H, b, bsum, max_iter=6)
+
+    I = 8
+    p_b = rng.rand(I, nb, 2 * b + 1).astype(np.float32) + 0.1
+    p_b /= p_b.sum(-1, keepdims=True)
+    p_s = rng.rand(I, r, 2 * bsum + 1).astype(np.float32) + 0.1
+    p_s /= p_s.sum(-1, keepdims=True)
+
+    mesh = make_mesh(data=8, model=1)
+    with mesh:
+        sharded = make_sharded_special_decode(dec, mesh)
+        hard_sharded = np.asarray(sharded(p_b, p_s))
+
+    hard_ref = np.asarray(dec.min_sum(p_b, p_s))
+    assert (hard_sharded == hard_ref).all()
+
+
+def test_sharded_attack_decode_vmapped_instances(devices):
+    """>1 instance per device: the vmapped shard body must equal the
+    per-instance reference decode exactly (round-1 ran these sequentially)."""
+    import jax.numpy as jnp
+
+    from sca_ldpc_tpu.ops.circulant_bp import _multi_circulant_bp
+    from sca_ldpc_tpu.parallel import make_sharded_masked_decode
+
+    N, P, W, I = 48, 2, 3, 16  # 16 instances on 8 devices -> 2 per device
+    rng = make_random_state(11)
+    prior_c = np.zeros((I, N), np.float32)
+    prior_i = np.zeros((I, P, N), np.float32)
+    syn = np.zeros((I, P, N), np.int32)
+    shifts = np.zeros((I, P, W), np.int32)
+    big = float(np.log((1 - 1e-9) / 1e-9))
+    for i in range(I):
+        y = np.zeros(N, np.int8)
+        y[rng.choice(N, 3, replace=False)] = 1
+        prior_c[i] = np.log((1 - 3 / N) / (3 / N))
+        for p in range(P):
+            shifts[i, p] = np.sort(rng.choice(N, W, replace=False))
+            par = sum(np.roll(y, int(k)).astype(int) for k in shifts[i, p]) % 2
+            meas = rng.rand(N) < 0.7
+            syn[i, p] = np.where(meas, par, 0)
+            prior_i[i, p] = np.where(meas, big, 0.0)
+
+    mesh = make_mesh(data=8, model=1)
+    with mesh:
+        decode = make_sharded_masked_decode(mesh, max_iter=30)
+        e_c, e_i, conv = decode(
+            jnp.asarray(prior_c), jnp.asarray(prior_i),
+            jnp.asarray(syn), jnp.asarray(shifts),
+        )
+    e_c, conv = np.asarray(e_c), np.asarray(conv)
+
+    for i in range(I):
+        rc, _ri, rconv, _ = _multi_circulant_bp(
+            jnp.asarray(prior_c[i : i + 1]), jnp.asarray(prior_i[i : i + 1]),
+            jnp.asarray(syn[i : i + 1]), jnp.asarray(shifts[i]), 30,
+            "product_sum",
+        )
+        assert (np.asarray(rc[0]) == e_c[i]).all()
+        assert bool(rconv[0]) == bool(conv[i])

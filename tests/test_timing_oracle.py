@@ -265,3 +265,38 @@ def test_read_or_generate_keypair_rejects_corrupt_file(tmp_path):
     assert isinstance(pub, (bytes, bytearray))
     pub2, priv2 = read_or_generate_keypair(HQC, str(fresh))
     assert pub2 == pub and priv2 == priv
+
+
+def test_certainty_cap_bounds_amplification():
+    """With CERTAINTY_CAP set (physical per-ciphertext error floor), the
+    amplified certainty and the require thresholds are both capped: a
+    0.9999-certainty state assertion terminates at the ceiling instead of
+    looping, and the reported check certainty never exceeds the cap —
+    repeats of the same probe are correlated, so the iid certainty product
+    must not be trusted past the systematic floor."""
+    oracle, params, tracking, base_ct = _oracle_with_channel(MockChannel({}))
+    params.CERTAINTY_CAP = (0.9995, 0.9954)
+    # result=True decisions at EPSILON[1]=0.8: iid product crosses 0.9954
+    # after 4 answers (1-0.2^4=0.9984), and the cap holds it there.
+    channel = MockChannel({base_ct: [True] * 10})
+    oracle.timing = channel
+
+    meta = {}
+    result = oracle._amplify(
+        raw=True, require=(0.9999, 0.9999), result_meta=meta, debug=False,
+        vbit=None,
+    )
+    assert result is True
+    assert len(channel.measured) == 4  # terminated at the capped threshold
+    assert meta["certainty"] == pytest.approx(0.9954)  # capped, not 0.9984
+
+    # Without the cap the same require would need ~6 answers and report
+    # the raw product.
+    del params.CERTAINTY_CAP
+    channel2 = MockChannel({base_ct: [True] * 10})
+    oracle.timing = channel2
+    meta2 = {}
+    oracle._amplify(raw=True, require=(0.9999, 0.9999), result_meta=meta2,
+                    debug=False, vbit=None)
+    assert len(channel2.measured) == 6
+    assert meta2["certainty"] > 0.9999
