@@ -100,6 +100,9 @@ class Commands(CommandsBase):
                             choices=["differential", "threshold"],
                             help="hqc_eval_oracle: drift-cancelling differential trials "
                                  "or the reference's absolute threshold")
+        parser.add_argument("--adaptive", action="store_true",
+                            help="kyber_simulate: adaptive (tree-coded) "
+                                 "eta=3 measurement mode")
         parser.add_argument("--decision-rule", type=str, default="expansion",
                             choices=["expansion", "midpoint"],
                             help="hqc_eval_oracle: differential decision boundary — "
@@ -243,15 +246,26 @@ class Commands(CommandsBase):
     def command_kyber_simulate(self, args):
         """End-to-end Kyber-768 attack simulation (the integration the
         reference leaves stubbed, kyber.py:379-435).  --error-rate maps to
-        1 - oracle accuracy (default accuracy 0.95)."""
-        from ..models.kyber import simulate_kyber_attack
+        1 - oracle accuracy (default accuracy 0.95).  --adaptive switches to
+        the eta=3 tree-coded measurement mode (the adaptive pattern DB the
+        reference records but never exercises)."""
+        from ..models.kyber import (
+            simulate_kyber_attack,
+            simulate_kyber_attack_adaptive,
+        )
 
         rng = make_random_state(args.seed)
-        accuracy = 1.0 - args.error_rate if args.error_rate else 0.95
-        results = simulate_kyber_attack(
-            rng, accuracy=accuracy, num_patterns=3, num_patterns_sum=3,
-            sum_weight=6, check_blocks=2, iterations=10, runs=args.runs,
-        )
+        if getattr(args, "adaptive", False):
+            results = simulate_kyber_attack_adaptive(
+                rng, accuracy=1.0 - args.error_rate if args.error_rate else 0.995,
+                sum_weight=6, check_blocks=2, iterations=10, runs=args.runs,
+            )
+        else:
+            accuracy = 1.0 - args.error_rate if args.error_rate else 0.95
+            results = simulate_kyber_attack(
+                rng, accuracy=accuracy, num_patterns=3, num_patterns_sum=3,
+                sum_weight=6, check_blocks=2, iterations=10, runs=args.runs,
+            )
         recovered = sum(r["recovered"] for r in results)
         avg = np.mean([r["correct_coefficients"] for r in results])
         logger.info(

@@ -20,6 +20,7 @@ from .pipeline import (
     get_channel_probabilities,
     get_decoder,
     simulate_kyber_attack,
+    simulate_kyber_attack_adaptive,
 )
 
 __all__ = [
@@ -31,4 +32,5 @@ __all__ = [
     "get_restricted_single_patterns", "get_single_patterns", "get_sum_patterns",
     "pattern_four_consecutive",
     "get_channel_probabilities", "get_decoder", "simulate_kyber_attack",
+    "simulate_kyber_attack_adaptive",
 ]

@@ -142,3 +142,158 @@ def simulate_kyber_attack(
             f"full recovery={recovered}"
         )
     return results
+
+
+# ---------------------------------------------------------------------------
+# Adaptive (tree-coded) measurement mode
+# ---------------------------------------------------------------------------
+
+
+def binary_sum_coding(bsum, bits=None):
+    """Fixed binary coding of the sum alphabet [-bsum..bsum]: symbol ->
+    ceil(log2(2*bsum+1))-bit codeword.  The reference records sum-pattern
+    databases only for eta=2 geometries (kyber.py:115-283); for the eta=3
+    adaptive pipeline this framework supplies a generic coding (patterns
+    are arbitrary bit labelings of the symbol set — cf. the DB's own
+    non-monotone codewords)."""
+    n_sym = 2 * bsum + 1
+    if bits is None:
+        bits = max(1, (n_sym - 1).bit_length())
+    return {
+        s: tuple((i >> b) & 1 for b in range(bits))
+        for i, s in enumerate(range(-bsum, bsum + 1))
+    }
+
+
+def simulate_adaptive_measurements(s_flat, tree, accuracy, rng):
+    """Walk the adaptive decision tree per coefficient with noisy answers.
+
+    Each node asks "s < value"; the (noisy) answer decides the branch
+    (1 -> left, matching pr_cond_yx_adaptive's convention,
+    max_likelihood.py:109-130).  Unlike fixed patterns the answer sequence
+    drives which question comes next, so measurement errors change the
+    path — exactly the behavior the adaptive posterior models.
+
+    Returns ``(sequences, total_measurements)``.
+    """
+    from .adaptive import CodingNode  # noqa: F401  (type of `tree`)
+
+    sequences = []
+    total = 0
+    for v in s_flat:
+        node = tree
+        seq = []
+        while node is not None:
+            true_answer = 1 if v < node.value else 0
+            answer = true_answer if rng.rand() < accuracy else 1 - true_answer
+            seq.append(answer)
+            node = node.left if answer == 1 else node.right
+        sequences.append(tuple(seq))
+        total += len(seq)
+    return sequences, total
+
+
+def simulate_kyber_attack_adaptive(
+    rng,
+    accuracy=0.995,
+    avg_measurements=2.5625,
+    sum_weight=6,
+    check_blocks=2,
+    iterations=10,
+    runs=1,
+    eta=3,
+):
+    """Full simulated attack with ADAPTIVE single-coefficient measurements.
+
+    Uses the eta=3 adaptive pattern database the reference records but
+    never exercises (kyber.py:268-283; the adaptive posterior functions in
+    max_likelihood.py:109-175 are equally unused there): per coefficient,
+    a prefix-free decision tree is walked with noisy oracle answers
+    (~``avg_measurements`` expected measurements for ~2.33 bits at
+    accuracy 0.995 — more information than 3 fixed measurements give an
+    eta=2 coefficient), posteriors come from
+    ``s_distribution_from_hard_y_adaptive``, sums are measured under a
+    generic binary coding (:func:`binary_sum_coding`), and the two-alphabet
+    decoder recovers the secret.
+
+    Returns per-run stats including the measured average measurements per
+    coefficient (data-dependent, unlike fixed patterns).
+    """
+    from .adaptive import tree_from_adaptive_pattern
+    from .patterns import get_restricted_single_patterns
+    from .posterior import posteriors_from_hard, s_distribution_from_hard_y_adaptive
+    from .secrets import sample_secret_coefs
+
+    rng = make_random_state(rng)
+    pattern = get_restricted_single_patterns(eta, accuracy, avg_measurements)
+    tree = tree_from_adaptive_pattern(pattern, eta=eta)
+
+    H = gen_ldpc_matrix(sum_weight, rng, check_blocks)
+    bsum = sum_weight * eta
+    decoder = QarySpecialDecoder(
+        np.asarray(H, np.int8), b=eta, bsum=bsum, max_iter=iterations,
+        sw=sum_weight,
+    )
+
+    prior_single = secret_distribution(1, eta=eta)
+    prior_sum = secret_distribution(sum_weight, eta=eta)
+    sum_coding = binary_sum_coding(bsum)
+    symbols = list(range(-eta, eta + 1))
+
+    n_b = BLOCK_LEN * NUM_BLOCKS
+    r = BLOCK_LEN * check_blocks
+    results = []
+    for _run in range(runs):
+        s = [sample_secret_coefs(BLOCK_LEN, eta=eta, rng=rng)
+             for _ in range(NUM_BLOCKS)]
+        ssum = compute_ssum(s, H, check_blocks)
+        s_flat = np.array(s).reshape(-1)
+
+        seqs, total_meas = simulate_adaptive_measurements(
+            s_flat, tree, accuracy, rng
+        )
+        # Posterior per distinct answer sequence (they repeat heavily).
+        post_cache = {}
+        post = np.zeros((n_b, len(symbols)), np.float32)
+        for i, seq in enumerate(seqs):
+            if seq not in post_cache:
+                post_cache[seq] = s_distribution_from_hard_y_adaptive(
+                    list(seq), accuracy, lambda sw: symbols, tree,
+                    prior_single, 1,
+                )
+            post[i] = post_cache[seq]
+
+        meas_sum = simulate_sum_measurements_coding(
+            ssum, sum_coding, accuracy, rng
+        )
+        post_sum = posteriors_from_hard(
+            meas_sum, sum_coding, prior_sum, accuracy
+        )
+
+        channel = post
+        channel_sum = np.asarray(post_sum, np.float32)[:, ::-1]
+
+        decoded = np.asarray(decoder.min_sum(channel, channel_sum))
+        correct = int((decoded[:n_b] == s_flat).sum())
+        recovered = correct == n_b
+        results.append({
+            "recovered": recovered,
+            "correct_coefficients": correct,
+            "total_coefficients": n_b,
+            "avg_measurements_per_coeff": total_meas / n_b,
+            "sum_measurements": int(meas_sum.shape[0] * meas_sum.shape[1]),
+        })
+        logger.info(
+            f"Adaptive Kyber run: {correct}/{n_b} correct, "
+            f"avg {total_meas / n_b:.3f} measurements/coeff, "
+            f"recovery={recovered}"
+        )
+    return results
+
+
+def simulate_sum_measurements_coding(ssum, coding, accuracy, rng):
+    """Noisy measurements of each check sum under an explicit coding dict."""
+    m = len(next(iter(coding.values())))
+    true_bits = np.array([coding[int(v)] for v in ssum])
+    flips = rng.rand(*true_bits.shape) > accuracy
+    return np.where(flips, 1 - true_bits, true_bits)
