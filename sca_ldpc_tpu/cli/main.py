@@ -103,6 +103,9 @@ class Commands(CommandsBase):
         parser.add_argument("--adaptive", action="store_true",
                             help="kyber_simulate: adaptive (tree-coded) "
                                  "eta=3 measurement mode")
+        parser.add_argument("--max-oracle-calls", type=int, default=None,
+                            help="hqc_simulate: stop after this many oracle "
+                                 "calls (None = run to recovery)")
         parser.add_argument("--decision-rule", type=str, default="expansion",
                             choices=["expansion", "midpoint"],
                             help="hqc_eval_oracle: differential decision boundary — "
@@ -127,6 +130,7 @@ class Commands(CommandsBase):
         _, tracking = simulate_hqc_idealized_oracle(
             rng, args.decode_every, args.code_weight, args.key_file,
             args.error_rate, args.param_set,
+            max_oracle_calls=args.max_oracle_calls,
             oracle_backend=args.oracle_backend,
             decode_backend=args.decode_backend,
             timing_measure=args.timing_measure,
