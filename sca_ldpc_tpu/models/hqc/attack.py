@@ -201,15 +201,23 @@ def read_or_generate_keypair(HQC, filename=None):
     return HQC.keypair()
 
 
-def search_distinguishable_plaintext(HQC, rng, target_additional_seedexpansions=3):
+def search_distinguishable_plaintext(HQC, rng, target_additional_seedexpansions=3,
+                                     max_attempts=10**6):
     """Random-search a plaintext whose encryption randomness needs
     ``target`` extra seed expansions — the timing-distinguishable class.
 
     Matches hqc.py:96-124 (including the 3-expansion baseline).
+
+    NOTE: in this implementation each of the three sampled vectors
+    (r1, r2, e) overflows its rejection-sampling buffer AT MOST ONCE, so
+    the extra-expansion count is Binomial(3, ~0.18) — measured frequencies
+    {0: .548, 1: .367, 2: .079, 3: .0055} fit it exactly — and targets
+    above 3 are unsatisfiable.  ``max_attempts`` turns that (or an
+    astronomically rare target) into an error instead of an infinite loop.
     """
     ptlen = len(HQC.new_plaintext())
     distr = {}
-    for attempt in itertools.count():
+    for attempt in range(max_attempts):
         pt = rng.bytes(ptlen)
         extra = (HQC.num_rejections(pt) // 1000) - 3
         distr[extra] = distr.get(extra, 0) + 1
@@ -217,6 +225,12 @@ def search_distinguishable_plaintext(HQC, rng, target_additional_seedexpansions=
             logger.debug(f"Seedexpansion distribution: {distr}")
             logger.debug(f"Found distinguishable plaintext at attempt {attempt}")
             return pt
+    raise RuntimeError(
+        f"no plaintext with >= {target_additional_seedexpansions} extra "
+        f"seed expansions in {max_attempts} attempts (observed "
+        f"distribution: {distr}); the sampler's per-vector overflow cap "
+        "makes targets > 3 unsatisfiable"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -338,22 +352,44 @@ class HqcOracle:
         threshold (hqc.py:782-807).  Under a timing channel every repeat is
         a fresh measurement of the (ct, vbit) probe.
 
-        Physical channels have PER-CIPHERTEXT systematic error the
-        amplification product cannot see: a failing probe whose garbage
-        re-encryption draws >= 3 extra seed expansions reads "success" on
-        every repeat (probability = the calibrated fail ceiling, ~0.005),
-        so the iid certainty product would reach 0.9999 on a wrong answer
-        and hand the decoder a poisoned near-certain check.  Repeats of
-        the SAME probe are correlated; only different probes (different
-        ciphertexts -> fresh garbage) are independent.  CERTAINTY_CAP
-        therefore bounds both the amplification target and the reported
-        certainty at the physical ceiling per result class."""
+        Physical channels (timing backend) get two corrections the
+        reference's iid heuristic lacks:
+
+        - **Bayesian posterior instead of the one-sided product.**  The
+          reference scores each side by 1 - prod(1 - p) over its own
+          readings only, ignoring the other side's evidence; with
+          disagreeing readings (True, False, True) it claims 0.99995 for
+          True where the likelihood-ratio posterior over both classes is
+          ~0.7.  Overconfident wrong checks poison the BP decode, so the
+          timing path computes P(truth | k_true, k_false) from the
+          calibrated per-class accuracies (noise IS conditionally iid
+          given the truth; the heuristic stays for the idealized backends
+          whose semantics it defines).
+        - **CERTAINTY_CAP.**  Per-ciphertext systematic error: a failing
+          probe whose garbage re-encryption draws >= 3 extra seed
+          expansions reads "success" on every repeat (the calibrated fail
+          ceiling, ~0.005).  Repeats of the SAME probe are correlated, so
+          no amount of re-measurement supports certainty beyond the
+          ceiling: the cap bounds both the amplification target and the
+          reported certainty per result class."""
         cap = getattr(self.params, "CERTAINTY_CAP", None)
+        bayesian = self.timing is not None
+        acc_f, acc_t = self.params.EPSILON
+        counts = [0, 0]
         collected = ([], [])
         while True:
             result, certainty = self._noisy(raw, debug, vbit=vbit)
+            counts[result] += 1
             collected[result].append(certainty)
-            acc = 1.0 - prod(1.0 - p for p in collected[result])
+            if bayesian:
+                k_t, k_f = counts[1], counts[0]
+                lik_true = acc_t**k_t * (1.0 - acc_t) ** k_f
+                lik_false = (1.0 - acc_f) ** k_t * acc_f**k_f
+                post_true = lik_true / (lik_true + lik_false)
+                result = post_true >= 0.5
+                acc = post_true if result else 1.0 - post_true
+            else:
+                acc = 1.0 - prod(1.0 - p for p in collected[result])
             threshold = require[result]
             if cap is not None:
                 acc = min(acc, cap[result])
@@ -927,6 +963,7 @@ def simulate_hqc_idealized_oracle(
     timing_profile_measurements=2**14,
     timing_calibration_trials=100,
     timing_chunk_cap=None,
+    timing_pt_target=3,
 ):
     """Full idealized-oracle key-recovery attack.  Returns (success, tracking).
 
@@ -954,7 +991,14 @@ def simulate_hqc_idealized_oracle(
     capacity — ONE compile shape for the whole attack (PaddedCheckDecoder);
     "circulant" decodes the full circulant with a measured-row mask — one
     compile shape per plaintext count (MaskedCirculantCheckDecoder), the
-    fastest TPU path."""
+    fastest TPU path.
+
+    ``timing_pt_target``: extra seed expansions required of the attack
+    plaintext in timing mode (default 3, like the reference,
+    hqc.py:96-124 — also the maximum this implementation's sampler can
+    produce: each of the three sampled vectors overflows its buffer at
+    most once, so extras are Binomial(3, ~0.18) and P(garbage >= 3)
+    ~ 0.0055 is the channel's intrinsic fail-class floor)."""
     rng = make_random_state(rng)
     params = make_params(param_set, decode_every, weight, error_rate)
     logger.info(f"Params {params}")
@@ -975,6 +1019,7 @@ def simulate_hqc_idealized_oracle(
             profile_measurements=timing_profile_measurements,
             calibration_trials=timing_calibration_trials,
             chunk_cap=timing_chunk_cap,
+            pt_target=timing_pt_target,
         )
         # Cap the upper end only: certainty 1.0 would mark wrong checks as
         # impossible (add_check escalates certainty-1.0 errors).
@@ -1011,7 +1056,12 @@ def simulate_hqc_idealized_oracle(
         raise ValueError(f"unknown decode_backend: {decode_backend}")
 
     while True:
-        pt = search_distinguishable_plaintext(params.HQC, rng)
+        pt = search_distinguishable_plaintext(
+            params.HQC, rng,
+            target_additional_seedexpansions=(
+                timing_pt_target if oracle_backend == "timing" else 3
+            ),
+        )
 
         logger.info(f"Create random (L/M)DPC parity check of size {params.N}")
         first_row = random_circulant_first_row(params.N, weight, rng)

@@ -156,6 +156,7 @@ def calibrate_timing_channel(
     max_profile_attempts=10,
     min_accuracy=0.6,
     max_calibration_attempts=3,
+    pt_target=3,
 ):
     """Profile the timing channel and measure its per-class accuracy.
 
@@ -182,11 +183,12 @@ def calibrate_timing_channel(
     profiling_oracle(HQC, rng, pub, priv, "warmup", False, num_profiles=1,
                      measurements=min(profile_measurements, 2**13))
 
-    garbage = measure_garbage_expansion_distribution(HQC, rng)
-    ceiling = sum(p for k, p in garbage.items() if k < 3)
+    garbage = measure_garbage_expansion_distribution(HQC, rng,
+                                                     samples=2**15)
+    ceiling = sum(p for k, p in garbage.items() if k < pt_target)
     logger.info(
         f"Garbage-expansion distribution: {garbage}; intrinsic fail-class "
-        f"ceiling P(extra < 3) = {ceiling:.4f}"
+        f"ceiling P(extra < {pt_target}) = {ceiling:.5f}"
     )
 
     last_err = None
@@ -224,7 +226,9 @@ def calibrate_timing_channel(
             )
         margin = cost / 2
 
-        pt = search_distinguishable_plaintext(HQC, rng)
+        pt = search_distinguishable_plaintext(
+            HQC, rng, target_additional_seedexpansions=pt_target
+        )
         ctnmod, _ = HQC.encaps_with_plaintext_and_r1(pub, pt, [])
         channel = TimingChannel(HQC, priv, ctnmod, gap, margin=margin,
                                 measure=measure, chunk_cap=chunk_cap)

@@ -57,6 +57,12 @@ def main():
                          "per-dispatch accelerator latency and per-bucket "
                          "recompiles; with 'circulant', 'default' (TPU) is "
                          "fastest.")
+    ap.add_argument("--batch-size", type=int, default=1,
+                    help=">1 runs that many same-weight labels as "
+                         "concurrent attack instances with their decodes "
+                         "merged into single batched device calls "
+                         "(simulate_hqc_attacks_batched) — the fast path "
+                         "for the reference's 100-label default sweep")
     args = ap.parse_args()
 
     if args.platform == "cpu":
@@ -80,6 +86,68 @@ def main():
 
     configs = [(label, w) for label in args.labels for w in args.weights]
     logger.info(f"{len(configs)} configs; resume markers in {state_dir}")
+
+    def marker_path(label, weight):
+        return os.path.join(state_dir, f"{args.param_set}-{label}-w{weight}.done")
+
+    def drop_stale_rows(label, weight):
+        if not os.path.exists(args.csv):
+            return
+        import pandas as pd
+
+        df0 = pd.read_csv(args.csv)
+        mask = (df0["label"].astype(str) == str(label)) & (df0["weight"] == weight)
+        if mask.any():
+            logger.warning(f"dropping {mask.sum()} stale rows for {label} w={weight}")
+            df0[~mask].to_csv(args.csv, index=False)
+
+    def append_result(label, weight, ok, tracking, wall):
+        df = tracking.decoder_stats_data_frame(label=label)
+        header = not os.path.exists(args.csv)
+        df.to_csv(args.csv, mode="w" if header else "a", index=False, header=header)
+        with open(marker_path(label, weight), "w") as f:
+            f.write(f"success={ok} wall={wall:.1f}\n")
+
+    if args.batch_size > 1:
+        from sca_ldpc_tpu.models.hqc.batched import simulate_hqc_attacks_batched
+
+        for weight in args.weights:
+            todo = [l for l in args.labels
+                    if not os.path.exists(marker_path(l, weight))]
+            done_n = len(args.labels) - len(todo)
+            if done_n:
+                logger.info(f"w={weight}: {done_n} labels already done")
+            for i in range(0, len(todo), args.batch_size):
+                group = todo[i : i + args.batch_size]
+                for label in group:
+                    drop_stale_rows(label, weight)
+                seeds = [
+                    args.seed_base
+                    + zlib.crc32(f"{label}-{weight}".encode()) % (2**31)
+                    for label in group
+                ]
+                t0 = time.time()
+                results, calls = simulate_hqc_attacks_batched(
+                    seeds, args.decode_every, weight,
+                    error_rate=args.error_rate, param_set=args.param_set,
+                    max_oracle_calls=args.max_oracle_calls,
+                    oracle_backend=args.oracle_backend,
+                    decode_backend=args.decode_backend,
+                )
+                wall = time.time() - t0
+                for label, res in zip(group, results):
+                    if res is None:
+                        logger.error(f"{label} w={weight}: instance died")
+                        continue
+                    ok, tracking = res
+                    append_result(label, weight, ok, tracking, wall)
+                n_ok = sum(1 for r in results if r and r[0])
+                logger.info(
+                    f"w={weight} batch {group[0]}..{group[-1]}: "
+                    f"{n_ok}/{len(group)} recovered, {calls} batched decode "
+                    f"calls, wall={wall:.1f}s"
+                )
+        return
 
     for i, (label, weight) in enumerate(configs):
         marker = os.path.join(state_dir, f"{args.param_set}-{label}-w{weight}.done")

@@ -38,6 +38,10 @@ def main():
     ap.add_argument("--profile-log2", type=int, default=14)
     ap.add_argument("--calibration-trials", type=int, default=150)
     ap.add_argument("--max-oracle-calls", type=int, default=None)
+    ap.add_argument("--pt-target", type=int, default=3,
+                    help="extra seed expansions required of the attack "
+                         "plaintext (3 is the maximum this sampler can "
+                         "produce: extras are Binomial(3, ~0.18))")
     ap.add_argument("--decode-backend", default="circulant",
                     choices=["general", "padded", "circulant"])
     ap.add_argument("--platform", default="default", choices=["cpu", "default"])
@@ -73,6 +77,7 @@ def main():
         timing_measure=args.measure,
         timing_profile_measurements=2**args.profile_log2,
         timing_calibration_trials=args.calibration_trials,
+        timing_pt_target=args.pt_target,
     )
     wall = time.time() - t0
 
@@ -87,6 +92,7 @@ def main():
         "code_weight": args.code_weight,
         "decode_every": args.decode_every,
         "timing_measure": args.measure,
+        "pt_target": args.pt_target,
         "profile_measurements": 2**args.profile_log2,
         "calibrated_epsilon": list(tracking.params.EPSILON),
         "success": bool(ok),

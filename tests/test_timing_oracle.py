@@ -74,17 +74,23 @@ def _oracle_with_channel(channel):
     return oracle, params, tracking, bytes(ct)
 
 
+def _bayes_post_true(k_t, k_f, acc_f, acc_t):
+    lik_t = acc_t**k_t * (1 - acc_t) ** k_f
+    lik_f = (1 - acc_f) ** k_t * acc_f**k_f
+    return lik_t / (lik_t + lik_f)
+
+
 def test_amplification_remeasures_same_probe():
     """Each amplification repeat is a fresh measurement of the SAME
-    (ct, vbit) probe, and the accumulated certainty reported in result_meta
-    is 1 - prod(1 - EPSILON[result]) over the winning answers."""
+    (ct, vbit) probe, and the reported certainty is the Bayesian posterior
+    over both classes from the calibrated per-class accuracies."""
     # Build the oracle first with a placeholder channel to learn the base ct.
     oracle, params, tracking, base_ct = _oracle_with_channel(MockChannel({}))
     vbit = 12345
     probe_ct = bytes(toggle_bits_in_v(base_ct, [vbit], params.N))
 
-    # Script: two True answers needed to pass require_true=0.95 with
-    # EPSILON[True]=0.8 (1 - 0.2*0.2 = 0.96 >= 0.95).
+    # EPSILON=(0.9, 0.8): one True reading gives posterior 0.8/(0.8+0.1)
+    # = 0.888 < 0.95; the second lifts it to 0.64/(0.64+0.01) = 0.9846.
     channel = MockChannel({probe_ct: [True, True]})
     oracle.timing = channel
 
@@ -95,31 +101,35 @@ def test_amplification_remeasures_same_probe():
     )
     assert result is True
     assert channel.measured == [probe_ct, probe_ct]  # same probe, re-measured
-    assert meta["certainty"] == pytest.approx(1 - 0.2 * 0.2)
+    assert meta["certainty"] == pytest.approx(_bayes_post_true(2, 0, 0.9, 0.8))
     assert tracking.num_oracle_calls == 2
     # ground-truth accounting saw both reports against raw=True
     assert channel.truth_total[1] == 2 and channel.truth_agree[1] == 2
 
 
-def test_mixed_answers_amplify_until_one_side_wins():
-    """Disagreeing measurements keep amplifying until one side's
-    accumulated certainty crosses its threshold (hqc.py:782-807)."""
+def test_mixed_answers_weighed_by_posterior():
+    """Disagreeing measurements are weighed against each other: after
+    (True, False, False) the posterior favors False but only at 0.72 — the
+    reference's one-sided product would already claim 0.99 — so
+    amplification keeps measuring until the posterior clears the
+    threshold."""
     oracle, params, tracking, base_ct = _oracle_with_channel(MockChannel({}))
     # No vbit: the probe is the oracle's own current ciphertext.
-    channel = MockChannel({base_ct: [True, False, False]})
+    channel = MockChannel({base_ct: [True] + [False] * 7})
     oracle.timing = channel
 
     meta = {}
-    # EPSILON=(0.9, 0.8): False side reaches 1-0.1^2=0.99 >= 0.97 after two
-    # False answers; True side would need two (1-0.2^2=0.96 < 0.97 is false
-    # -- actually 0.96 < 0.97, so True needs three).
     result = oracle._amplify(
         raw=False, require=(0.97, 0.97), result_meta=meta, debug=False,
         vbit=None,
     )
     assert result is False
-    assert len(channel.measured) == 3
-    assert meta["certainty"] == pytest.approx(1 - 0.1 * 0.1)
+    # posterior(False) after 1 True + k False readings with EPSILON=(0.9,0.8):
+    # k=2: 0.717, k=3: 0.919, k=4: 0.981 >= 0.97 -> 5 measurements total
+    assert len(channel.measured) == 5
+    assert meta["certainty"] == pytest.approx(
+        1 - _bayes_post_true(1, 4, 0.9, 0.8)
+    )
 
 
 def test_timing_channel_decision_margin():
@@ -276,8 +286,9 @@ def test_certainty_cap_bounds_amplification():
     must not be trusted past the systematic floor."""
     oracle, params, tracking, base_ct = _oracle_with_channel(MockChannel({}))
     params.CERTAINTY_CAP = (0.9995, 0.9954)
-    # result=True decisions at EPSILON[1]=0.8: iid product crosses 0.9954
-    # after 4 answers (1-0.2^4=0.9984), and the cap holds it there.
+    # result=True posterior after k True readings with EPSILON=(0.9, 0.8)
+    # is 1/(1 + (1/8)^k): k=2 -> 0.9846, k=3 -> 0.99805 >= capped
+    # threshold 0.9954; the cap holds the reported certainty there.
     channel = MockChannel({base_ct: [True] * 10})
     oracle.timing = channel
 
@@ -287,16 +298,16 @@ def test_certainty_cap_bounds_amplification():
         vbit=None,
     )
     assert result is True
-    assert len(channel.measured) == 4  # terminated at the capped threshold
-    assert meta["certainty"] == pytest.approx(0.9954)  # capped, not 0.9984
+    assert len(channel.measured) == 3  # terminated at the capped threshold
+    assert meta["certainty"] == pytest.approx(0.9954)  # capped, not 0.998
 
-    # Without the cap the same require would need ~6 answers and report
-    # the raw product.
+    # Without the cap the same require needs 5 answers (posterior
+    # 0.99997 >= 0.9999) and reports the raw posterior.
     del params.CERTAINTY_CAP
     channel2 = MockChannel({base_ct: [True] * 10})
     oracle.timing = channel2
     meta2 = {}
     oracle._amplify(raw=True, require=(0.9999, 0.9999), result_meta=meta2,
                     debug=False, vbit=None)
-    assert len(channel2.measured) == 6
+    assert len(channel2.measured) == 5
     assert meta2["certainty"] > 0.9999
