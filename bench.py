@@ -243,11 +243,41 @@ def bench_kyber_decoder(batch=4096, iters=10, steps=10):
     return steps * batch / dt, ok
 
 
+def bench_param_sets(max_iter=30, steps=10):
+    """Pallas frames/s for all three HQC parameter-set attack codes
+    (hqc.py:1009-1034: N=17669/35851/57637, attack weights 20/30/30).
+
+    VMEM feasibility at N=57637: the kernel's [w, tb, n] f32 v2c cache at
+    tb=8/w=30 is 55.3 MB — within the raised 100 MB vmem_limit_bytes this
+    v5e accepts (CLAUDE.md), so the same tb=8 kernel serves every set.
+    Batch is scaled down with N to bound HBM and compile time.
+    """
+    rows = []
+    for name, n, weight, batch in (
+        ("hqc128", 17669, 20, 4096),
+        ("hqc192", 35851, 30, 2048),
+        ("hqc256", 57637, 30, 1024),
+    ):
+        lay = build_code(seed=0, n=n, weight=weight)
+        probs = np.full(lay.n_vars, 0.01, np.float32)
+        t0 = time.time()
+        fps, success = bench_tpu(lay, probs, batch=batch, steps=steps,
+                                 max_iter=max_iter)
+        rows.append((name, n, weight, batch, fps, success, time.time() - t0))
+        print(f"# {name}: N={n} w={weight} batch={batch} -> {fps:.1f} "
+              f"frames/s/chip, success {success:.4f} "
+              f"[{rows[-1][6]:.0f}s incl. compile]", file=sys.stderr)
+    return rows
+
+
 def main():
     from sca_ldpc_tpu.utils import enable_persistent_compilation_cache
 
     enable_persistent_compilation_cache()
     full = "--full" in sys.argv
+    if "--param-sets" in sys.argv:
+        bench_param_sets()
+        return
     error_rate = 0.01
     max_iter = 30
     lay = build_code()

@@ -438,12 +438,21 @@ class HqcOracle:
 
     def assert_success(self, expect):
         """Validate the assumed oracle state at very high certainty;
-        downgraded to a warning under epsilon noise (hqc.py:56-71)."""
+        downgraded to a warning under epsilon noise (hqc.py:56-71).
+
+        Returns True when the oracle agrees with the assumed state.  The
+        search routines use a False return to RETRACT the decision that
+        led here instead of continuing: one wrong high-certainty "failure"
+        decision otherwise puts the state machine in a success-state
+        ciphertext it believes is failing, and the whole block's probe
+        harvest (hundreds of checks) comes out systematically wrong —
+        observed exactly so on the physical timing channel."""
         result = self.query(require_false=0.9999, require_true=0.9999, debug=True)
         if self.assert_raises:
             assert result == expect, f"oracle state assertion failed (expected {expect})"
         elif result != expect:
             logger.warning(f'Failed assertion "decoding success = {expect}"')
+        return result == expect
 
 
 # ---------------------------------------------------------------------------
@@ -482,9 +491,23 @@ def next_failure_block(params, tracking, oracle, rng):
         oracle.flip_block(int(block))
         tracking.block_status[block]["status"] = FlipStatus.FLIPPED
         if flipped == limit:
-            oracle.assert_success(True)
+            if not oracle.assert_success(True):
+                # failing before the edge: an earlier block evaluation was
+                # wrong — abandon this plaintext round rather than harvest
+                # checks from an inconsistent state
+                return None
         elif flipped == limit + 1:
-            oracle.assert_success(False)
+            if not oracle.assert_success(False):
+                # this flip did not actually tip decoding into failure:
+                # retract it and keep searching
+                logger.warning(
+                    f"Retracting failure decision for block {block} "
+                    "(state assertion contradicted)"
+                )
+                oracle.flip_block(int(block))
+                tracking.block_status[block]["status"] = FlipStatus.UNFLIPPED
+                flipped -= 1
+                continue
             oracle.flip_block(int(block))
             tracking.block_status[block]["status"] = FlipStatus.UNFLIPPED
             tracking.block_status[block]["result"] = IfFlipResult.FAILURE
@@ -522,11 +545,20 @@ def next_failure_bit(params, tracking, oracle, rng):
         oracle.flip_bit(tracking.current_block_nr, bit)
         bits[bit]["status"] = FlipStatus.FLIPPED
         if not oracle.query(require_false=0.99999, result_meta=bits[bit]):
+            if not oracle.assert_success(False):
+                # the failure reading was wrong (state still succeeds):
+                # retract and keep searching — proceeding would harvest the
+                # whole block's checks from a success-state ciphertext
+                logger.warning(
+                    f"Retracting failure decision for bit {bit} in block "
+                    f"{tracking.current_block_nr} (state assertion "
+                    "contradicted)"
+                )
+                continue
             bits[bit]["result"] = IfFlipResult.FAILURE
             logger.info(
                 f"Decoding failure by flipping bit {bit} in block {tracking.current_block_nr}"
             )
-            oracle.assert_success(False)
             return bit
     return None
 
@@ -534,7 +566,12 @@ def next_failure_bit(params, tracking, oracle, rng):
 def find_minimal_failure_flips(params, tracking, oracle, save_results=True):
     """Strip the failure pattern to a minimal one; bits whose unflip restores
     success are check-value-0 information (hqc.py:534-605)."""
-    oracle.assert_success(False)
+    if not oracle.assert_success(False):
+        logger.warning(
+            "Skipping minimal-failure-flip harvest: state assertion "
+            "contradicted (not in a failure state)"
+        )
+        return []
     bits = tracking.current_bits_status()
     available = [
         i
@@ -566,7 +603,12 @@ def find_minimal_failure_flips(params, tracking, oracle, save_results=True):
 def find_successes_by_flipping(params, tracking, oracle):
     """From the minimal failure pattern, bits whose flip restores success are
     check-value-1 information (hqc.py:608-658)."""
-    oracle.assert_success(False)
+    if not oracle.assert_success(False):
+        logger.warning(
+            "Skipping success-by-flipping harvest: state assertion "
+            "contradicted (not in a failure state)"
+        )
+        return [], []
     bits = tracking.current_bits_status()
     available = [
         i
