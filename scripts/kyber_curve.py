@@ -48,9 +48,9 @@ def main():
     ap.add_argument("--num-patterns", type=int, nargs="+", default=[3],
                     help="single-coefficient measurement counts to sweep "
                          "(DB supports 1-5 depending on accuracy)")
-    ap.add_argument("--num-patterns-sum", type=int, default=3)
+    ap.add_argument("--num-patterns-sum", type=int, nargs="+", default=[3])
     ap.add_argument("--sum-weight", type=int, default=6)
-    ap.add_argument("--check-blocks", type=int, default=2)
+    ap.add_argument("--check-blocks", type=int, nargs="+", default=[2])
     ap.add_argument("--iterations", type=int, default=10)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--platform", default="cpu", choices=["cpu", "default"])
@@ -70,16 +70,18 @@ def main():
 
     h_secret = secret_entropy(ETA)
     n_coeff = BLOCK_LEN * NUM_BLOCKS
-    r_checks = BLOCK_LEN * args.check_blocks
 
     rows = []
     for acc in args.accuracies:
+      for nps in args.num_patterns_sum:
+       for cb in args.check_blocks:
+        r_checks = BLOCK_LEN * cb
         for np_single in args.num_patterns:
             if np_single not in SINGLE_PATTERNS.get(acc, {}):
                 print(f"accuracy {acc}: no {np_single}-pattern DB entry, skipping")
                 continue
             info_single = SINGLE_PATTERNS[acc][np_single][1]
-            info_sum = SUM_PATTERNS[args.sum_weight][args.num_patterns_sum][0]
+            info_sum = SUM_PATTERNS[args.sum_weight][nps][0]
             info_sum_per_coeff = info_sum * r_checks / n_coeff
             margin = info_single + info_sum_per_coeff - h_secret
             t0 = time.time()
@@ -87,9 +89,9 @@ def main():
                 make_random_state(args.seed),
                 accuracy=acc,
                 num_patterns=np_single,
-                num_patterns_sum=args.num_patterns_sum,
+                num_patterns_sum=nps,
                 sum_weight=args.sum_weight,
-                check_blocks=args.check_blocks,
+                check_blocks=cb,
                 iterations=args.iterations,
                 runs=args.runs,
             )
@@ -97,7 +99,8 @@ def main():
                 rows.append({
                     "accuracy": acc,
                     "num_patterns": np_single,
-                    "num_patterns_sum": args.num_patterns_sum,
+                    "num_patterns_sum": nps,
+                    "check_blocks": cb,
                     "info_single": info_single,
                     "info_sum_per_coeff": round(info_sum_per_coeff, 4),
                     "secret_entropy": round(h_secret, 4),
@@ -106,7 +109,7 @@ def main():
                 })
             avg = sum(r["correct_coefficients"] for r in results) / len(results)
             rec = sum(r["recovered"] for r in results)
-            print(f"accuracy {acc} x {np_single} patterns "
+            print(f"accuracy {acc} x {np_single}p x {nps}sp x {cb}cb "
                   f"(margin {margin:+.3f} bits): avg correct {avg:.1f}/768, "
                   f"full recoveries {rec}/{len(results)}, {time.time()-t0:.1f}s")
 
