@@ -222,6 +222,17 @@ struct SeedExpander {
   size_t pos;
   long expansions;
   long rejections;
+  // Block-aligned expansions: each expand() starts at a fresh Keccak block
+  // boundary, so every expansion costs exactly ceil(chunk/136) permutations
+  // regardless of history.  This mirrors the reference's per-vector
+  // seedexpander calls on liboqs (fresh full-block squeezes each call) and
+  // makes the timing side channel LINEAR in the expansion count; without it
+  // the partial-block carry makes two-expansion garbage re-encryptions
+  // time identically to the three-expansion attack plaintext, capping the
+  // fail-class oracle accuracy at ~0.92 instead of P(extra<3)=0.994
+  // (measured per-vector-pattern diagnostics, round 2).  Keygen keeps the
+  // carried-block behavior so existing key fixtures derive unchanged.
+  bool block_aligned;
 
   void init(const uint8_t* seed, size_t seed_len) {
     xof.init();
@@ -231,6 +242,7 @@ struct SeedExpander {
     buf_cap = buf_len = pos = 0;
     expansions = 0;
     rejections = 0;
+    block_aligned = false;
   }
   void release() { free(buf); buf = nullptr; }
 
@@ -242,6 +254,7 @@ struct SeedExpander {
       buf = (uint8_t*)realloc(buf, chunk);
       buf_cap = chunk;
     }
+    if (block_aligned) xof.squeeze_pos = 136;  // next squeeze: fresh block
     xof.squeeze(buf, chunk);
     buf_len = chunk;
     pos = 0;
@@ -713,11 +726,33 @@ static void sample_encrypt_randomness(int ver, const uint8_t* m, uint32_t* e_pos
   shake256(theta, 64, m, (size_t)P(ver).k, 0x02);  // G(m), domain-separated
   SeedExpander se;
   se.init(theta, 64);
+  se.block_aligned = true;  // re-encryption path: linear per-expansion cost
   sample_fixed_weight(se, ver, P(ver).omega_e, e_pos);
   sample_fixed_weight(se, ver, P(ver).omega_r, r1_pos);
   sample_fixed_weight(se, ver, P(ver).omega_r, r2_pos);
   if (expansions) *expansions = se.expansions;
   if (rejections) *rejections = se.rejections;
+  se.release();
+}
+
+// Per-vector extra-expansion pattern: out[0..2] = extra expansions drawn
+// while sampling e, r1, r2 respectively (beyond each vector's initial one).
+// Diagnostic for the timing side channel: the cycle cost of an expansion
+// depends on which vector's sampling triggers it.
+void hqc_expansion_pattern(int ver, const uint8_t* pt, int* out3) {
+  uint8_t theta[64];
+  shake256(theta, 64, pt, (size_t)P(ver).k, 0x02);
+  SeedExpander se;
+  se.init(theta, 64);
+  se.block_aligned = true;  // mirror the re-encryption path
+  uint32_t pos[256];
+  long prev = 0;
+  const int weights[3] = {P(ver).omega_e, P(ver).omega_r, P(ver).omega_r};
+  for (int i = 0; i < 3; i++) {
+    sample_fixed_weight(se, ver, weights[i], pos);
+    out3[i] = (int)(se.expansions - prev - 1);  // minus the initial one
+    prev = se.expansions;
+  }
   se.release();
 }
 

@@ -109,7 +109,7 @@ class Commands(CommandsBase):
         parser.add_argument("--decision-rule", type=str, default="expansion",
                             choices=["expansion", "midpoint"],
                             help="hqc_eval_oracle: differential decision boundary — "
-                                 "'expansion' = half a profiled seed-expansion cost "
+                                 "'expansion' = 0.4x a profiled seed-expansion cost "
                                  "below the reference level (fail misread only when "
                                  "the garbage re-encryption draws >=3 extra "
                                  "expansions); 'midpoint' = half the class gap "

@@ -432,7 +432,11 @@ def hqc_eval_oracle(
                     "expansion-cost profiling failed (no positive cost); "
                     "host too noisy — retry or use decision_rule='midpoint'"
                 )
-            margin = expansion_cost / 2
+            # 0.4x: midway between the success class (probe-position offset
+            # +~300 cycles, sigma a few hundred) and the nearest fail class
+            # (one block-aligned expansion = 2 Keccak permutations below);
+            # robust to the +-30% run-to-run scatter of the cost estimate.
+            margin = 0.4 * expansion_cost
             garbage = measure_garbage_expansion_distribution(HQC, rng)
             ceiling = sum(p for k, p in garbage.items() if k < 3)
             logger.info(

@@ -21,8 +21,9 @@ measurably faster.
 Each oracle decision is a **drift-robust differential measurement** (see
 eval_oracle.py): the probe ciphertext and the attack's known-good base
 ciphertext are cycle-timed in interleaved chunks and the first-percentile
-difference is compared against a decision margin of HALF ONE PROFILED
-SEED-EXPANSION COST below the reference level.  With that boundary a failing
+difference is compared against a decision margin of 0.4x ONE PROFILED
+SEED-EXPANSION COST below the reference level (between the success
+class and the nearest one-expansion-faster fail class).  With that boundary a failing
 probe is misclassified only when its garbage re-encryption draws >= 3 extra
 expansions (probability = the intrinsic channel ceiling, measured by
 eval_oracle.measure_garbage_expansion_distribution), rather than >= 2 as
@@ -58,7 +59,7 @@ class TimingChannel:
     ``margin`` is the decision boundary in cycles: the probe is declared a
     failure when its first-percentile estimate is more than ``margin``
     cycles *below* the reference's.  The expansion-aware calibration sets it
-    to half the per-seed-expansion cost; ``gap`` (the profiled class
+    to 0.4x the per-seed-expansion cost; ``gap`` (the profiled class
     separation, positive: failures are faster) is kept for logging.
     """
 
@@ -224,7 +225,8 @@ def calibrate_timing_channel(
                 f"expansion-cost profiling failed: no positive cost in "
                 f"{max_profile_attempts} attempts (host too noisy?)"
             )
-        margin = cost / 2
+        margin = 0.4 * cost  # see eval_oracle: between the success class and
+        # the nearest (one-expansion-faster) fail class
 
         pt = search_distinguishable_plaintext(
             HQC, rng, target_additional_seedexpansions=pt_target

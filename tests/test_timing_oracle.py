@@ -244,7 +244,7 @@ def test_calibration_success_path(monkeypatch):
         HQC, rng, pub, priv, measure=4, profile_measurements=2**4,
         calibration_trials=10,
     )
-    assert params["margin"] == pytest.approx(1800.0)
+    assert params["margin"] == pytest.approx(0.4 * 3600.0)
     assert params["cost"] == pytest.approx(3600.0)
     assert params["fail_ceiling"] == pytest.approx(0.995)
     assert acc_fail == 1.0 and acc_success == 1.0
