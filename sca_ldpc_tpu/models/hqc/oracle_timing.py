@@ -155,8 +155,8 @@ def calibrate_timing_channel(
     calibration_trials=100,
     chunk_cap=None,
     max_profile_attempts=10,
-    min_accuracy=0.6,
-    max_calibration_attempts=3,
+    min_accuracy=0.85,
+    max_calibration_attempts=4,
     pt_target=3,
 ):
     """Profile the timing channel and measure its per-class accuracy.
@@ -175,8 +175,11 @@ def calibrate_timing_channel(
     against within-correction-limit *modified* ciphertexts (realistic
     attack probes), not the byte-identical base.  If either class accuracy
     comes out below ``min_accuracy`` the channel is re-profiled and
-    re-calibrated (a broken or inverted channel must not silently feed the
-    attack); after ``max_calibration_attempts`` failures this raises.
+    re-calibrated — a broken or inverted channel must not silently feed
+    the attack, and on this shared host a calibration window hit by an
+    ambient-load burst reads 0.7-0.8 where quiet windows read 0.95-1.0,
+    so retrying buys a representative EPSILON; after
+    ``max_calibration_attempts`` failures this raises.
     """
     from .attack import search_distinguishable_plaintext
 
