@@ -101,22 +101,39 @@ def bench_cpu(lay, probs, error_rate, frames=4, max_iter=30, seed=0):
 
 
 def bench_tpu(lay, probs, batch=4096, steps=20, max_iter=30,
-              method="product_sum"):
+              method="product_sum", tb=8, compact=False, backend="pallas"):
     """Fused Pallas decode, measured as `steps` full simulation steps
     (sample -> syndrome -> decode -> compare) inside ONE jitted dispatch —
-    per-dispatch latency through the TPU tunnel otherwise dominates."""
+    per-dispatch latency through the TPU tunnel otherwise dominates.
+    ``backend="xla"`` uses the rolled-plane XLA decoder instead (the HBM-
+    resident path; the only option where the Pallas kernel exceeds VMEM)."""
     import jax
     import jax.numpy as jnp
 
+    from sca_ldpc_tpu.ops.circulant_bp import _circulant_bp
     from sca_ldpc_tpu.ops.kernels.circulant_pallas import circulant_fer_pallas
 
     n = lay.n
     probs_j = jnp.asarray(probs)
     err = float(np.asarray(probs).ravel()[0])
+    prior = float(np.log((1 - err) / err))
+    shifts = lay.shifts
 
     def one_step(key):
         e = jax.random.bernoulli(key, probs_j[None, :], (batch, 2 * n)).astype(jnp.int8)
-        ok, _conv = circulant_fer_pallas(e, lay.shifts, err, max_iter, tb=8, method=method)
+        if backend == "xla":
+            e_f = e.astype(jnp.float32)
+            syn = e_f[:, n:]
+            for k in shifts:
+                syn = syn + jnp.roll(e_f[:, :n], k, axis=-1)
+            syn = (syn % 2).astype(jnp.int32)
+            pc = jnp.full((batch, n), prior, jnp.float32)
+            e_hat, _conv, _ = _circulant_bp(pc, pc, syn, shifts, True,
+                                            max_iter, method)
+            ok = jnp.all(e_hat == e, axis=-1)
+        else:
+            ok, _conv = circulant_fer_pallas(e, shifts, err, max_iter, tb=tb,
+                                             method=method, compact=compact)
         return jnp.sum(ok)
 
     @jax.jit
@@ -247,24 +264,35 @@ def bench_param_sets(max_iter=30, steps=10):
     """Pallas frames/s for all three HQC parameter-set attack codes
     (hqc.py:1009-1034: N=17669/35851/57637, attack weights 20/30/30).
 
-    VMEM feasibility at N=57637: the kernel's [w, tb, n] f32 v2c cache at
-    tb=8/w=30 is 55.3 MB — within the raised 100 MB vmem_limit_bytes this
-    v5e accepts (CLAUDE.md), so the same tb=8 kernel serves every set.
+    VMEM feasibility (all MEASURED compile outcomes, not estimates):
+    - full-cache kernel, w=30/tb=8, N=35,851: 144.3 MB > 128 MB — OOM
+      (2x [w,tb,n] f32 caches + bf16 messages + 55 MB register spills).
+    - compact variant (no phi cache, bf16 extrinsics;
+      circulant_pallas._make_kernel): fits HQC-192 at tb=8.
+    - compact at N=57,637: 158.1 MB > 128 MB — OOM, and 94.6 MB of it is
+      register-allocator spill slots from the w=30 unrolled plane loops,
+      so no further scratch dieting closes the gap (tb<8 is rejected by
+      the Pallas sublane-divisibility rule).  HQC-256 therefore runs the
+      rolled-plane XLA decoder (HBM-resident messages) — backend="xla".
     Batch is scaled down with N to bound HBM and compile time.
     """
     rows = []
-    for name, n, weight, batch in (
-        ("hqc128", 17669, 20, 4096),
-        ("hqc192", 35851, 30, 2048),
-        ("hqc256", 57637, 30, 1024),
+    for name, n, weight, batch, tb, compact, backend in (
+        ("hqc128", 17669, 20, 4096, 8, False, "pallas"),
+        ("hqc192", 35851, 30, 2048, 8, True, "pallas"),
+        # batch 256: the [B, W, N] f32 message planes are HBM-resident on
+        # the XLA path; batch 1024 needs 27.5 GB > 15.75 GB (measured OOM)
+        ("hqc256", 57637, 30, 256, 8, True, "xla"),
     ):
         lay = build_code(seed=0, n=n, weight=weight)
         probs = np.full(lay.n_vars, 0.01, np.float32)
         t0 = time.time()
         fps, success = bench_tpu(lay, probs, batch=batch, steps=steps,
-                                 max_iter=max_iter)
+                                 max_iter=max_iter, tb=tb, compact=compact,
+                                 backend=backend)
         rows.append((name, n, weight, batch, fps, success, time.time() - t0))
-        print(f"# {name}: N={n} w={weight} batch={batch} -> {fps:.1f} "
+        print(f"# {name}: N={n} w={weight} batch={batch} tb={tb} "
+              f"compact={compact} backend={backend} -> {fps:.1f} "
               f"frames/s/chip, success {success:.4f} "
               f"[{rows[-1][6]:.0f}s incl. compile]", file=sys.stderr)
     return rows

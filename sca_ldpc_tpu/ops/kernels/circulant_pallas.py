@@ -51,7 +51,16 @@ def _phi(x):
     return -jnp.log(jnp.tanh(0.5 * x))
 
 
-def _make_kernel(shifts, n, tb, max_iter, method):
+def _make_kernel(shifts, n, tb, max_iter, method, cache_phi=True,
+                 c2v_bf16=False):
+    """``cache_phi=False`` + ``c2v_bf16=True`` is the *compact* variant for
+    large N (HQC-192/256): it drops the [W, TB, N] f32 phi cache (recomputing
+    phi in pass 2, +1 transcendental per plane) and stores the cached
+    extrinsics in bf16 — together a ~2.6x VMEM cut, which is what lets
+    N=35,851/57,637 fit the 128 MB budget at all (the full-cache variant
+    needs 144 MB+ there).  Messages are already bf16-quantized in v2c, so
+    bf16 extrinsics add no new error class; FER parity is checked
+    statistically (tests/test_pallas_kernel.py)."""
     w = len(shifts)
 
     def kernel(prior_c_ref, prior_i_ref, syn_ref, e_c_ref, e_i_ref, conv_ref,
@@ -78,11 +87,14 @@ def _make_kernel(shifts, n, tb, max_iter, method):
                 for t in range(w):
                     plane = v2c[t].astype(jnp.float32)
                     pm_t = _phi(jnp.abs(plane))
-                    pm[t] = pm_t
+                    if cache_phi:
+                        pm[t] = pm_t
                     phi_sum = phi_sum + pm_t
                     sgn_prod = sgn_prod * jnp.where(plane >= 0, 1.0, -1.0)
 
                 def ext_of(plane, pm_t):
+                    if pm_t is None:  # compact: recompute instead of cache
+                        pm_t = _phi(jnp.abs(plane))
                     sgn = jnp.where(plane >= 0, 1.0, -1.0)
                     ext_mag = _phi(jnp.maximum(phi_sum - pm_t, 1e-9))
                     return sgn_prod * sgn * ext_mag
@@ -124,9 +136,9 @@ def _make_kernel(shifts, n, tb, max_iter, method):
             for t, k in enumerate(shifts):
                 ext = ext_of(
                     v2c[t].astype(jnp.float32),
-                    pm[t] if method == "product_sum" else None,
+                    pm[t] if (method == "product_sum" and cache_phi) else None,
                 )
-                c2v[t] = ext
+                c2v[t] = ext.astype(jnp.bfloat16) if c2v_bf16 else ext
                 tot_c = tot_c + _roll(ext, n - k)
             tot_i = pi + ext_i
 
@@ -139,7 +151,8 @@ def _make_kernel(shifts, n, tb, max_iter, method):
             syn_hat = e_i
             for t, k in enumerate(shifts):
                 rolled = _roll(tot_c, k)
-                v2c[t] = jnp.clip(rolled - c2v[t], -_BIG, _BIG).astype(
+                c2v_t = c2v[t].astype(jnp.float32) if c2v_bf16 else c2v[t]
+                v2c[t] = jnp.clip(rolled - c2v_t, -_BIG, _BIG).astype(
                     jnp.bfloat16
                 )
                 syn_hat = syn_hat + jnp.where(rolled < 0, 1.0, 0.0)
@@ -172,24 +185,29 @@ def _make_kernel(shifts, n, tb, max_iter, method):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("shifts", "max_iter", "tb", "method"))
+@partial(jax.jit,
+         static_argnames=("shifts", "max_iter", "tb", "method", "compact"))
 def circulant_bp_pallas(prior_c, prior_i, syndrome, shifts: tuple, max_iter: int,
-                        tb: int = 8, method: str = "min_sum"):
+                        tb: int = 8, method: str = "min_sum",
+                        compact: bool = False):
     """Decode [B, N] syndromes of [circulant | I]; returns (e [B, 2N] int32,
-    conv [B] bool).  B must be a multiple of tb."""
+    conv [B] bool).  B must be a multiple of tb.  ``compact=True`` selects
+    the reduced-VMEM variant for large N (see _make_kernel)."""
     b, n = syndrome.shape
     w = len(shifts)
     assert b % tb == 0, f"batch {b} not a multiple of tile {tb}"
     grid = (b // tb,)
-    kernel = _make_kernel(shifts, n, tb, max_iter, method)
+    kernel = _make_kernel(shifts, n, tb, max_iter, method,
+                          cache_phi=not compact, c2v_bf16=compact)
 
     spec = pl.BlockSpec((tb, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
     conv_spec = pl.BlockSpec((tb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    c2v_dtype = jnp.bfloat16 if compact else jnp.float32
     scratch = [
         pltpu.VMEM((w, tb, n), jnp.bfloat16),  # v2c planes
-        pltpu.VMEM((w, tb, n), jnp.float32),  # cached extrinsics
+        pltpu.VMEM((w, tb, n), c2v_dtype),  # cached extrinsics
     ]
-    if method == "product_sum":
+    if method == "product_sum" and not compact:
         scratch.append(pltpu.VMEM((w, tb, n), jnp.float32))  # cached phi mags
     e_c, e_i, conv = pl.pallas_call(
         kernel,
@@ -219,10 +237,11 @@ def circulant_bp_pallas(prior_c, prior_i, syndrome, shifts: tuple, max_iter: int
 # ---------------------------------------------------------------------------
 
 
-def _make_fer_kernel(shifts, n, tb, max_iter, prior, method):
+def _make_fer_kernel(shifts, n, tb, max_iter, prior, method, compact=False):
     w = len(shifts)
     prior_f = float(prior)
-    base = _make_kernel(shifts, n, tb, max_iter, method)
+    base = _make_kernel(shifts, n, tb, max_iter, method,
+                        cache_phi=not compact, c2v_bf16=compact)
 
     def kernel(e_c_ref, e_i_ref, ok_ref, conv_out, v2c, c2v, *rest):
         pm, eh_c, eh_i = (rest if len(rest) == 3 else (None, *rest))
@@ -254,11 +273,14 @@ def _make_fer_kernel(shifts, n, tb, max_iter, prior, method):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("shifts", "max_iter", "tb", "method", "error_rate"))
+@partial(jax.jit, static_argnames=("shifts", "max_iter", "tb", "method",
+                                   "error_rate", "compact"))
 def circulant_fer_pallas(errors, shifts: tuple, error_rate: float, max_iter: int,
-                         tb: int = 8, method: str = "product_sum"):
+                         tb: int = 8, method: str = "product_sum",
+                         compact: bool = False):
     """FER step core: [B, 2N] error bits in -> ([B] success, [B] converged)
-    flags, with syndrome formation, decode, and comparison all in VMEM."""
+    flags, with syndrome formation, decode, and comparison all in VMEM.
+    ``compact=True`` selects the reduced-VMEM variant for large N."""
     import numpy as np
 
     b = errors.shape[0]
@@ -266,11 +288,12 @@ def circulant_fer_pallas(errors, shifts: tuple, error_rate: float, max_iter: int
     w = len(shifts)
     assert b % tb == 0
     prior = float(np.log((1 - error_rate) / error_rate))
-    kernel = _make_fer_kernel(shifts, n, tb, max_iter, prior, method)
+    kernel = _make_fer_kernel(shifts, n, tb, max_iter, prior, method, compact)
 
     spec = pl.BlockSpec((tb, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
     conv_spec = pl.BlockSpec((tb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
     e = errors.astype(jnp.float32)
+    c2v_dtype = jnp.bfloat16 if compact else jnp.float32
     ok, conv = pl.pallas_call(
         kernel,
         grid=(b // tb,),
@@ -283,10 +306,10 @@ def circulant_fer_pallas(errors, shifts: tuple, error_rate: float, max_iter: int
         scratch_shapes=(
             [
                 pltpu.VMEM((w, tb, n), jnp.bfloat16),  # v2c planes
-                pltpu.VMEM((w, tb, n), jnp.float32),  # cached extrinsics
+                pltpu.VMEM((w, tb, n), c2v_dtype),  # cached extrinsics
             ]
             + ([pltpu.VMEM((w, tb, n), jnp.float32)]  # cached phi mags
-               if method == "product_sum" else [])
+               if method == "product_sum" and not compact else [])
             + [
                 pltpu.VMEM((tb, n), jnp.float32),
                 pltpu.VMEM((tb, n), jnp.float32),

@@ -45,6 +45,44 @@ def test_pallas_matches_xla(method):
     assert (np.asarray(e_pal) == np.asarray(e_xla)).all()
 
 
+def test_pallas_compact_decodes_like_full():
+    """The compact (reduced-VMEM, bf16-extrinsic) variant for HQC-192/256
+    sizes recovers the same errors as the full-cache kernel on correctable
+    frames — bf16 extrinsics on top of already-bf16 messages must not
+    change hard decisions at attack operating points."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from sca_ldpc_tpu.ops.kernels.circulant_pallas import circulant_bp_pallas
+
+    rng = make_random_state(9)
+    n, w = 128, 4
+    row = random_circulant_first_row(n, w, rng)
+    lay = CirculantLayout.from_first_row(row, with_identity=True)
+    B = 8
+    err = np.zeros((B, 2 * n), np.int32)
+    for i in range(B):
+        err[i, rng.choice(2 * n, 1 + i % 2, replace=False)] = 1
+    H = lay.to_dense()
+    syn = (err @ H.T) % 2
+    p = 0.01
+    prior = float(np.log((1 - p) / p))
+    pc = jnp.full((B, n), prior, jnp.float32)
+    pi = jnp.full((B, n), prior, jnp.float32)
+    synj = jnp.asarray(syn, jnp.int32)
+
+    with pltpu.force_tpu_interpret_mode():
+        e_full, conv_full = circulant_bp_pallas(
+            pc, pi, synj, lay.shifts, 20, tb=4, method="product_sum"
+        )
+        e_cpt, conv_cpt = circulant_bp_pallas(
+            pc, pi, synj, lay.shifts, 20, tb=4, method="product_sum",
+            compact=True,
+        )
+    assert (np.asarray(e_full) == err).all()
+    assert (np.asarray(e_cpt) == err).all()
+    assert np.asarray(conv_full).all() and np.asarray(conv_cpt).all()
+
+
 def test_qary_check_kernel_matches_minplus():
     """chain_exclusive_pallas is bitwise-equal to minplus.chain_exclusive."""
     from jax.experimental.pallas import tpu as pltpu
