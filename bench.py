@@ -111,7 +111,10 @@ def bench_tpu(lay, probs, batch=4096, steps=20, max_iter=30,
     import jax.numpy as jnp
 
     from sca_ldpc_tpu.ops.circulant_bp import _circulant_bp
-    from sca_ldpc_tpu.ops.kernels.circulant_pallas import circulant_fer_pallas
+    from sca_ldpc_tpu.ops.kernels.circulant_pallas import (
+        circulant_fer_pallas,
+        circulant_fer_pallas_lean,
+    )
 
     n = lay.n
     probs_j = jnp.asarray(probs)
@@ -131,6 +134,10 @@ def bench_tpu(lay, probs, batch=4096, steps=20, max_iter=30,
             e_hat, _conv, _ = _circulant_bp(pc, pc, syn, shifts, True,
                                             max_iter, method)
             ok = jnp.all(e_hat == e, axis=-1)
+        elif backend == "lean":
+            ok, _conv = circulant_fer_pallas_lean(
+                e, np.asarray(shifts), len(shifts), err, max_iter, tb=tb
+            )
         else:
             ok, _conv = circulant_fer_pallas(e, shifts, err, max_iter, tb=tb,
                                              method=method, compact=compact)

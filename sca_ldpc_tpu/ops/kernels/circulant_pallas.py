@@ -231,6 +231,254 @@ def circulant_bp_pallas(prior_c, prior_i, syndrome, shifts: tuple, max_iter: int
 
 
 # ---------------------------------------------------------------------------
+# Lean variant: plane loops rolled up as lax.fori_loop with the shifts as
+# DATA (scalar-prefetched SMEM array, dynamic pltpu.roll).  The unrolled
+# kernels above keep ~50 live [TB, N] vectors across the w-plane loops; at
+# HQC-256 sizes (N=57,637, w=30) that is 94.6 MB of register-allocator
+# spill slots — more than the scratch buffers themselves — and the Mosaic
+# compile time grows with the unrolled body.  Rolling the loop keeps one
+# plane live at a time: tensor state lives in scratch refs (Mosaic while-
+# loop carries must be scalar-only), accumulators included.  product_sum
+# only (the conformance method); extrinsics cached bf16 as in compact.
+# ---------------------------------------------------------------------------
+
+
+def _make_lean_kernel(n, w, tb, max_iter):
+    def kernel(shifts_ref, prior_c_ref, prior_i_ref, syn_ref,
+               e_c_ref, e_i_ref, conv_ref,
+               v2c, c2v, acc_phi, acc_sgn, tot):
+        pc = prior_c_ref[:]  # [TB, N]
+        pi = prior_i_ref[:]
+        syn = syn_ref[:]
+        sign_syn = 1.0 - 2.0 * syn
+        sgn_pi = jnp.where(pi >= 0, 1.0, -1.0)
+        phi_pi = _phi(jnp.abs(pi))
+
+        def store_plane(ref, t, val):
+            ref[pl.ds(t, 1)] = val[None]
+
+        def load_plane(ref, t):
+            return ref[pl.ds(t, 1)][0].astype(jnp.float32)
+
+        def init_plane(t, _):
+            store_plane(v2c, t,
+                        pltpu.roll(pc, shifts_ref[t], axis=1)
+                        .astype(jnp.bfloat16))
+            return 0
+
+        jax.lax.fori_loop(0, w, init_plane, 0)
+
+        def one_iteration():
+            # pass 1: check accumulators (identity plane hoisted)
+            acc_phi[:] = phi_pi
+            acc_sgn[:] = sgn_pi * sign_syn
+
+            def p1(t, _):
+                plane = load_plane(v2c, t)
+                acc_phi[:] = acc_phi[:] + _phi(jnp.abs(plane))
+                acc_sgn[:] = acc_sgn[:] * jnp.where(plane >= 0, 1.0, -1.0)
+                return 0
+
+            jax.lax.fori_loop(0, w, p1, 0)
+            phi_sum = acc_phi[:]
+            sgn_prod = acc_sgn[:]
+            ext_i = sgn_prod * sgn_pi * _phi(
+                jnp.maximum(phi_sum - phi_pi, 1e-9)
+            )
+
+            # pass 2: extrinsics (cached bf16) + variable totals
+            tot[:] = pc
+
+            def p2(t, _):
+                plane = load_plane(v2c, t)
+                pm_t = _phi(jnp.abs(plane))
+                ext = (sgn_prod * jnp.where(plane >= 0, 1.0, -1.0)
+                       * _phi(jnp.maximum(phi_sum - pm_t, 1e-9)))
+                store_plane(c2v, t, ext.astype(jnp.bfloat16))
+                tot[:] = tot[:] + pltpu.roll(ext, n - shifts_ref[t], axis=1)
+                return 0
+
+            jax.lax.fori_loop(0, w, p2, 0)
+            tot_c = tot[:]
+            tot_i = pi + ext_i
+            e_c = jnp.where(tot_c < 0, 1.0, 0.0)
+            e_i = jnp.where(tot_i < 0, 1.0, 0.0)
+
+            # pass 3: plane rewrite + convergence syndrome (shares the
+            # rolls: sign of roll(tot_c, k) IS roll(e_c, k)); syn_hat
+            # accumulates in acc_phi's slot (free after pass 2).
+            acc_phi[:] = e_i
+
+            def p3(t, _):
+                rolled = pltpu.roll(tot_c, shifts_ref[t], axis=1)
+                ext = load_plane(c2v, t)
+                store_plane(
+                    v2c, t,
+                    jnp.clip(rolled - ext, -_BIG, _BIG).astype(jnp.bfloat16),
+                )
+                acc_phi[:] = acc_phi[:] + jnp.where(rolled < 0, 1.0, 0.0)
+                return 0
+
+            jax.lax.fori_loop(0, w, p3, 0)
+            syn_hat = acc_phi[:]
+            syn_hat = syn_hat - 2.0 * jnp.floor(syn_hat * 0.5)  # mod 2
+            ok = jnp.sum(jnp.abs(syn_hat - syn), axis=-1, keepdims=True) == 0.0
+            return e_c, e_i, ok
+
+        e_c_ref[:] = jnp.where(pc < 0, 1.0, 0.0)
+        e_i_ref[:] = jnp.where(pi < 0, 1.0, 0.0)
+        conv_ref[:] = jnp.zeros((tb, 1), jnp.float32)
+
+        def body(carry):
+            it, _done = carry
+            already = conv_ref[:] > 0.5
+            e_c, e_i, ok = one_iteration()
+            e_c_ref[:] = jnp.where(already, e_c_ref[:], e_c)
+            e_i_ref[:] = jnp.where(already, e_i_ref[:], e_i)
+            new_conv = already | ok
+            conv_ref[:] = new_conv.astype(jnp.float32)
+            return it + 1, jnp.all(new_conv)
+
+        def cond(carry):
+            it, done = carry
+            return (it < max_iter) & ~done
+
+        jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.bool_(False)))
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("w", "max_iter", "tb"))
+def circulant_bp_pallas_lean(prior_c, prior_i, syndrome, shifts, w: int,
+                             max_iter: int, tb: int = 8):
+    """Lean decode: like circulant_bp_pallas(method="product_sum") but with
+    the circulant shifts as DATA — one compile serves every weight-w
+    circulant — and loop-rolled planes (VMEM-feasible at HQC-256 sizes
+    where the unrolled kernels measurably OOM).  ``shifts``: [w] int32."""
+    b, n = syndrome.shape
+    assert b % tb == 0, f"batch {b} not a multiple of tile {tb}"
+    kernel = _make_lean_kernel(n, w, tb, max_iter)
+
+    spec = pl.BlockSpec((tb, n), lambda i, *_: (i, 0),
+                        memory_space=pltpu.VMEM)
+    conv_spec = pl.BlockSpec((tb, 1), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b // tb,),
+        in_specs=[spec, spec, spec],
+        out_specs=[spec, spec, conv_spec],
+        scratch_shapes=[
+            pltpu.VMEM((w, tb, n), jnp.bfloat16),  # v2c planes
+            pltpu.VMEM((w, tb, n), jnp.bfloat16),  # cached extrinsics
+            pltpu.VMEM((tb, n), jnp.float32),  # acc_phi / syn_hat
+            pltpu.VMEM((tb, n), jnp.float32),  # acc_sgn
+            pltpu.VMEM((tb, n), jnp.float32),  # variable totals
+        ],
+    )
+    e_c, e_i, conv = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n), jnp.float32),
+            jax.ShapeDtypeStruct((b, n), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(
+        jnp.asarray(shifts, jnp.int32),
+        prior_c.astype(jnp.float32),
+        prior_i.astype(jnp.float32),
+        syndrome.astype(jnp.float32),
+    )
+    e = jnp.concatenate([e_c, e_i], axis=-1).astype(jnp.int32)
+    return e, conv[:, 0] > 0.5
+
+
+def _make_lean_fer_kernel(n, w, tb, max_iter, prior):
+    prior_f = float(prior)
+    base = _make_lean_kernel(n, w, tb, max_iter)
+
+    def kernel(shifts_ref, e_c_ref, e_i_ref, ok_ref, conv_out,
+               v2c, c2v, acc_phi, acc_sgn, tot, eh_c, eh_i):
+        e_c = e_c_ref[:]  # [TB, N] f32 0/1 true errors
+        e_i = e_i_ref[:]
+
+        # syndrome from the true errors, dynamic rolls
+        acc_phi[:] = e_i
+
+        def s1(t, _):
+            acc_phi[:] = acc_phi[:] + pltpu.roll(e_c, shifts_ref[t], axis=1)
+            return 0
+
+        jax.lax.fori_loop(0, w, s1, 0)
+        syn = acc_phi[:]
+        syn = syn - 2.0 * jnp.floor(syn * 0.5)  # mod 2
+
+        class _Const:
+            def __init__(self, val):
+                self._v = val
+
+            def __getitem__(self, _):
+                return self._v
+
+        pc = jnp.full((tb, n), prior_f, jnp.float32)
+        base(shifts_ref, _Const(pc), _Const(pc), _Const(syn), eh_c, eh_i,
+             conv_out, v2c, c2v, acc_phi, acc_sgn, tot)
+
+        diff = jnp.sum(jnp.abs(eh_c[:] - e_c), axis=-1, keepdims=True)
+        diff = diff + jnp.sum(jnp.abs(eh_i[:] - e_i), axis=-1, keepdims=True)
+        ok_ref[:] = jnp.where(diff == 0.0, 1.0, 0.0)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("w", "max_iter", "tb", "error_rate"))
+def circulant_fer_pallas_lean(errors, shifts, w: int, error_rate: float,
+                              max_iter: int, tb: int = 8):
+    """Lean FER step: [B, 2N] error bits -> ([B] success, [B] converged),
+    shifts as data, loop-rolled planes (see circulant_bp_pallas_lean)."""
+    import numpy as np
+
+    b = errors.shape[0]
+    n = errors.shape[1] // 2
+    assert b % tb == 0
+    prior = float(np.log((1 - error_rate) / error_rate))
+    kernel = _make_lean_fer_kernel(n, w, tb, max_iter, prior)
+
+    spec = pl.BlockSpec((tb, n), lambda i, *_: (i, 0),
+                        memory_space=pltpu.VMEM)
+    conv_spec = pl.BlockSpec((tb, 1), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b // tb,),
+        in_specs=[spec, spec],
+        out_specs=[conv_spec, conv_spec],
+        scratch_shapes=[
+            pltpu.VMEM((w, tb, n), jnp.bfloat16),  # v2c planes
+            pltpu.VMEM((w, tb, n), jnp.bfloat16),  # cached extrinsics
+            pltpu.VMEM((tb, n), jnp.float32),  # acc_phi / syn_hat
+            pltpu.VMEM((tb, n), jnp.float32),  # acc_sgn
+            pltpu.VMEM((tb, n), jnp.float32),  # variable totals
+            pltpu.VMEM((tb, n), jnp.float32),  # decoded e_c
+            pltpu.VMEM((tb, n), jnp.float32),  # decoded e_i
+        ],
+    )
+    e = errors.astype(jnp.float32)
+    ok, conv = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(jnp.asarray(shifts, jnp.int32), e[:, :n], e[:, n:])
+    return ok[:, 0] > 0.5, conv[:, 0] > 0.5
+
+
+# ---------------------------------------------------------------------------
 # Errors-in / success-out variant: syndrome and comparison computed in-kernel
 # (saves the XLA-side syndrome rolls and the decision write-back traffic for
 # FER simulation, where only the success bit is needed).

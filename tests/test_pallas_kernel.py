@@ -83,6 +83,55 @@ def test_pallas_compact_decodes_like_full():
     assert np.asarray(conv_full).all() and np.asarray(conv_cpt).all()
 
 
+def test_pallas_lean_matches_full():
+    """The lean (loop-rolled, shifts-as-data) kernels decode and classify
+    like the unrolled ones.  This is the VMEM-feasible path for HQC-256
+    (the unrolled kernels' register spills measurably exceed 128 MB
+    there) and compiles once for every weight-w circulant."""
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+
+    from sca_ldpc_tpu.ops.kernels.circulant_pallas import (
+        circulant_bp_pallas,
+        circulant_bp_pallas_lean,
+        circulant_fer_pallas,
+        circulant_fer_pallas_lean,
+    )
+
+    rng = make_random_state(5)
+    n, w = 128, 4
+    row = random_circulant_first_row(n, w, rng)
+    lay = CirculantLayout.from_first_row(row, with_identity=True)
+    B = 8
+    err = np.zeros((B, 2 * n), np.int32)
+    for i in range(B):
+        err[i, rng.choice(2 * n, 1 + i % 2, replace=False)] = 1
+    H = lay.to_dense()
+    syn = (err @ H.T) % 2
+    p = 0.01
+    prior = float(np.log((1 - p) / p))
+    pc = jnp.full((B, n), prior, jnp.float32)
+    pi = jnp.full((B, n), prior, jnp.float32)
+    synj = jnp.asarray(syn, jnp.int32)
+
+    with pltpu.force_tpu_interpret_mode():
+        e_lean, conv_lean = circulant_bp_pallas_lean(
+            pc, pi, synj, np.asarray(lay.shifts), w, 20, tb=4
+        )
+    assert (np.asarray(e_lean) == err).all()
+    assert np.asarray(conv_lean).all()
+
+    # FER variant: same success flags as the unrolled kernel on random noise
+    key = jax.random.PRNGKey(3)
+    e_noise = (jax.random.uniform(key, (B, 2 * n)) < 0.01).astype(jnp.int8)
+    with pltpu.force_tpu_interpret_mode():
+        ok_full, _ = circulant_fer_pallas(e_noise, lay.shifts, 0.01, 20, tb=4)
+        ok_lean, _ = circulant_fer_pallas_lean(
+            e_noise, np.asarray(lay.shifts), w, 0.01, 20, tb=4
+        )
+    assert (np.asarray(ok_full) == np.asarray(ok_lean)).all()
+
+
 def test_qary_check_kernel_matches_minplus():
     """chain_exclusive_pallas is bitwise-equal to minplus.chain_exclusive."""
     from jax.experimental.pallas import tpu as pltpu
