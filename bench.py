@@ -280,16 +280,18 @@ def bench_param_sets(max_iter=30, steps=10):
       register-allocator spill slots from the w=30 unrolled plane loops,
       so no further scratch dieting closes the gap (tb<8 is rejected by
       the Pallas sublane-divisibility rule).  HQC-256 therefore runs the
-      rolled-plane XLA decoder (HBM-resident messages) — backend="xla".
+      **lean** kernel (loop-rolled planes, shifts as data, mod-N rotation
+      on a lane-aligned padded axis) — VMEM-resident where the unrolled
+      forms cannot be, and 2.9x the rolled-plane XLA fallback
+      (5,667 vs 1,980 frames/s measured; XLA available as backend="xla",
+      batch<=256 — its [B, W, N] HBM planes OOM at batch 1024).
     Batch is scaled down with N to bound HBM and compile time.
     """
     rows = []
     for name, n, weight, batch, tb, compact, backend in (
         ("hqc128", 17669, 20, 4096, 8, False, "pallas"),
         ("hqc192", 35851, 30, 2048, 8, True, "pallas"),
-        # batch 256: the [B, W, N] f32 message planes are HBM-resident on
-        # the XLA path; batch 1024 needs 27.5 GB > 15.75 GB (measured OOM)
-        ("hqc256", 57637, 30, 256, 8, True, "xla"),
+        ("hqc256", 57637, 30, 1024, 8, True, "lean"),
     ):
         lay = build_code(seed=0, n=n, weight=weight)
         probs = np.full(lay.n_vars, 0.01, np.float32)

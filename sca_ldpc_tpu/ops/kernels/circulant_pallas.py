@@ -243,16 +243,51 @@ def circulant_bp_pallas(prior_c, prior_i, syndrome, shifts: tuple, max_iter: int
 # ---------------------------------------------------------------------------
 
 
-def _make_lean_kernel(n, w, tb, max_iter):
+def _make_roll_mod(n, m, tb):
+    """Logical mod-n rotation on zero-padded [TB, M] planes (M lane-
+    aligned).  Positions i >= k come from roll_m(x, k) (= x[i-k]),
+    positions i < k from roll_m(x, k+(m-n)) (= x[i-k+n]); both read only
+    real columns [0, n), and the pad tail is re-zeroed."""
+    if m == n:
+        def roll_mod(x, k):
+            return pltpu.roll(x, k, axis=1)
+    else:
+        def roll_mod(x, k):
+            # iota built inside the kernel trace (a closure-captured array
+            # would be rejected as a constant by pallas_call)
+            col = jax.lax.broadcasted_iota(jnp.int32, (tb, m), 1)
+            a = pltpu.roll(x, k, axis=1)
+            b = pltpu.roll(x, k + (m - n), axis=1)
+            z = jnp.where(col >= k, a, b)
+            return jnp.where(col < n, z, 0.0)
+
+    return roll_mod
+
+
+def _make_lean_kernel(n, w, tb, max_iter, m=None):
+    """``m``: padded (lane-aligned) column count; None = n (no padding).
+    With m > n the logical mod-n rotation on the zero-padded [TB, M]
+    planes is composed from two aligned dynamic rolls: positions i >= k
+    come from roll_m(x, k) (= x[i-k]) and positions i < k from
+    roll_m(x, k+(m-n)) (= x[i-k+n]); both only ever read real columns
+    [0, n), and the pad tail is re-zeroed so cross-column flows stay
+    clean (column-local garbage in the pad region is harmless).  Mosaic
+    rejects dynamic-shift rolls on unaligned axes ('unsupported
+    unaligned shape' at N=57,637), which is what the padding solves."""
+    if m is None:
+        m = n
+
     def kernel(shifts_ref, prior_c_ref, prior_i_ref, syn_ref,
                e_c_ref, e_i_ref, conv_ref,
                v2c, c2v, acc_phi, acc_sgn, tot):
-        pc = prior_c_ref[:]  # [TB, N]
+        pc = prior_c_ref[:]  # [TB, M] (zero pad beyond N)
         pi = prior_i_ref[:]
         syn = syn_ref[:]
         sign_syn = 1.0 - 2.0 * syn
         sgn_pi = jnp.where(pi >= 0, 1.0, -1.0)
         phi_pi = _phi(jnp.abs(pi))
+
+        roll_mod = _make_roll_mod(n, m, tb)
 
         def store_plane(ref, t, val):
             ref[pl.ds(t, 1)] = val[None]
@@ -262,8 +297,7 @@ def _make_lean_kernel(n, w, tb, max_iter):
 
         def init_plane(t, _):
             store_plane(v2c, t,
-                        pltpu.roll(pc, shifts_ref[t], axis=1)
-                        .astype(jnp.bfloat16))
+                        roll_mod(pc, shifts_ref[t]).astype(jnp.bfloat16))
             return 0
 
         jax.lax.fori_loop(0, w, init_plane, 0)
@@ -295,7 +329,7 @@ def _make_lean_kernel(n, w, tb, max_iter):
                 ext = (sgn_prod * jnp.where(plane >= 0, 1.0, -1.0)
                        * _phi(jnp.maximum(phi_sum - pm_t, 1e-9)))
                 store_plane(c2v, t, ext.astype(jnp.bfloat16))
-                tot[:] = tot[:] + pltpu.roll(ext, n - shifts_ref[t], axis=1)
+                tot[:] = tot[:] + roll_mod(ext, n - shifts_ref[t])
                 return 0
 
             jax.lax.fori_loop(0, w, p2, 0)
@@ -303,6 +337,13 @@ def _make_lean_kernel(n, w, tb, max_iter):
             tot_i = pi + ext_i
             e_c = jnp.where(tot_c < 0, 1.0, 0.0)
             e_i = jnp.where(tot_i < 0, 1.0, 0.0)
+            if m != n:
+                # ext_i is column-local garbage in the pad region (phi of
+                # zero messages); hard decisions there must stay 0 so the
+                # syndrome accumulation and FER comparison see clean pads.
+                col = jax.lax.broadcasted_iota(jnp.int32, (tb, m), 1)
+                e_c = jnp.where(col < n, e_c, 0.0)
+                e_i = jnp.where(col < n, e_i, 0.0)
 
             # pass 3: plane rewrite + convergence syndrome (shares the
             # rolls: sign of roll(tot_c, k) IS roll(e_c, k)); syn_hat
@@ -310,7 +351,7 @@ def _make_lean_kernel(n, w, tb, max_iter):
             acc_phi[:] = e_i
 
             def p3(t, _):
-                rolled = pltpu.roll(tot_c, shifts_ref[t], axis=1)
+                rolled = roll_mod(tot_c, shifts_ref[t])
                 ext = load_plane(c2v, t)
                 store_plane(
                     v2c, t,
@@ -357,9 +398,14 @@ def circulant_bp_pallas_lean(prior_c, prior_i, syndrome, shifts, w: int,
     where the unrolled kernels measurably OOM).  ``shifts``: [w] int32."""
     b, n = syndrome.shape
     assert b % tb == 0, f"batch {b} not a multiple of tile {tb}"
-    kernel = _make_lean_kernel(n, w, tb, max_iter)
+    m = ((n + 127) // 128) * 128  # lane-aligned column count
+    kernel = _make_lean_kernel(n, w, tb, max_iter, m=m)
 
-    spec = pl.BlockSpec((tb, n), lambda i, *_: (i, 0),
+    def padded(x):
+        x = x.astype(jnp.float32)
+        return x if m == n else jnp.pad(x, ((0, 0), (0, m - n)))
+
+    spec = pl.BlockSpec((tb, m), lambda i, *_: (i, 0),
                         memory_space=pltpu.VMEM)
     conv_spec = pl.BlockSpec((tb, 1), lambda i, *_: (i, 0),
                              memory_space=pltpu.VMEM)
@@ -369,46 +415,49 @@ def circulant_bp_pallas_lean(prior_c, prior_i, syndrome, shifts, w: int,
         in_specs=[spec, spec, spec],
         out_specs=[spec, spec, conv_spec],
         scratch_shapes=[
-            pltpu.VMEM((w, tb, n), jnp.bfloat16),  # v2c planes
-            pltpu.VMEM((w, tb, n), jnp.bfloat16),  # cached extrinsics
-            pltpu.VMEM((tb, n), jnp.float32),  # acc_phi / syn_hat
-            pltpu.VMEM((tb, n), jnp.float32),  # acc_sgn
-            pltpu.VMEM((tb, n), jnp.float32),  # variable totals
+            pltpu.VMEM((w, tb, m), jnp.bfloat16),  # v2c planes
+            pltpu.VMEM((w, tb, m), jnp.bfloat16),  # cached extrinsics
+            pltpu.VMEM((tb, m), jnp.float32),  # acc_phi / syn_hat
+            pltpu.VMEM((tb, m), jnp.float32),  # acc_sgn
+            pltpu.VMEM((tb, m), jnp.float32),  # variable totals
         ],
     )
     e_c, e_i, conv = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((b, n), jnp.float32),
-            jax.ShapeDtypeStruct((b, n), jnp.float32),
+            jax.ShapeDtypeStruct((b, m), jnp.float32),
+            jax.ShapeDtypeStruct((b, m), jnp.float32),
             jax.ShapeDtypeStruct((b, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )(
         jnp.asarray(shifts, jnp.int32),
-        prior_c.astype(jnp.float32),
-        prior_i.astype(jnp.float32),
-        syndrome.astype(jnp.float32),
+        padded(prior_c),
+        padded(prior_i),
+        padded(syndrome),
     )
-    e = jnp.concatenate([e_c, e_i], axis=-1).astype(jnp.int32)
+    e = jnp.concatenate([e_c[:, :n], e_i[:, :n]], axis=-1).astype(jnp.int32)
     return e, conv[:, 0] > 0.5
 
 
-def _make_lean_fer_kernel(n, w, tb, max_iter, prior):
+def _make_lean_fer_kernel(n, w, tb, max_iter, prior, m=None):
     prior_f = float(prior)
-    base = _make_lean_kernel(n, w, tb, max_iter)
+    if m is None:
+        m = n
+    base = _make_lean_kernel(n, w, tb, max_iter, m=m)
+    roll_mod = _make_roll_mod(n, m, tb)
 
     def kernel(shifts_ref, e_c_ref, e_i_ref, ok_ref, conv_out,
                v2c, c2v, acc_phi, acc_sgn, tot, eh_c, eh_i):
-        e_c = e_c_ref[:]  # [TB, N] f32 0/1 true errors
+        e_c = e_c_ref[:]  # [TB, M] f32 0/1 true errors (zero pad)
         e_i = e_i_ref[:]
 
         # syndrome from the true errors, dynamic rolls
         acc_phi[:] = e_i
 
         def s1(t, _):
-            acc_phi[:] = acc_phi[:] + pltpu.roll(e_c, shifts_ref[t], axis=1)
+            acc_phi[:] = acc_phi[:] + roll_mod(e_c, shifts_ref[t])
             return 0
 
         jax.lax.fori_loop(0, w, s1, 0)
@@ -422,7 +471,12 @@ def _make_lean_fer_kernel(n, w, tb, max_iter, prior):
             def __getitem__(self, _):
                 return self._v
 
-        pc = jnp.full((tb, n), prior_f, jnp.float32)
+        pc = jnp.full((tb, m), prior_f, jnp.float32)
+        if m != n:
+            # zero the pad so the base kernel's totals/decisions see clean
+            # pad columns (roll_mod never reads them, but tot init does)
+            colm = jax.lax.broadcasted_iota(jnp.int32, (tb, m), 1)
+            pc = jnp.where(colm < n, pc, 0.0)
         base(shifts_ref, _Const(pc), _Const(pc), _Const(syn), eh_c, eh_i,
              conv_out, v2c, c2v, acc_phi, acc_sgn, tot)
 
@@ -443,10 +497,11 @@ def circulant_fer_pallas_lean(errors, shifts, w: int, error_rate: float,
     b = errors.shape[0]
     n = errors.shape[1] // 2
     assert b % tb == 0
+    m = ((n + 127) // 128) * 128  # lane-aligned column count
     prior = float(np.log((1 - error_rate) / error_rate))
-    kernel = _make_lean_fer_kernel(n, w, tb, max_iter, prior)
+    kernel = _make_lean_fer_kernel(n, w, tb, max_iter, prior, m=m)
 
-    spec = pl.BlockSpec((tb, n), lambda i, *_: (i, 0),
+    spec = pl.BlockSpec((tb, m), lambda i, *_: (i, 0),
                         memory_space=pltpu.VMEM)
     conv_spec = pl.BlockSpec((tb, 1), lambda i, *_: (i, 0),
                              memory_space=pltpu.VMEM)
@@ -456,16 +511,20 @@ def circulant_fer_pallas_lean(errors, shifts, w: int, error_rate: float,
         in_specs=[spec, spec],
         out_specs=[conv_spec, conv_spec],
         scratch_shapes=[
-            pltpu.VMEM((w, tb, n), jnp.bfloat16),  # v2c planes
-            pltpu.VMEM((w, tb, n), jnp.bfloat16),  # cached extrinsics
-            pltpu.VMEM((tb, n), jnp.float32),  # acc_phi / syn_hat
-            pltpu.VMEM((tb, n), jnp.float32),  # acc_sgn
-            pltpu.VMEM((tb, n), jnp.float32),  # variable totals
-            pltpu.VMEM((tb, n), jnp.float32),  # decoded e_c
-            pltpu.VMEM((tb, n), jnp.float32),  # decoded e_i
+            pltpu.VMEM((w, tb, m), jnp.bfloat16),  # v2c planes
+            pltpu.VMEM((w, tb, m), jnp.bfloat16),  # cached extrinsics
+            pltpu.VMEM((tb, m), jnp.float32),  # acc_phi / syn_hat
+            pltpu.VMEM((tb, m), jnp.float32),  # acc_sgn
+            pltpu.VMEM((tb, m), jnp.float32),  # variable totals
+            pltpu.VMEM((tb, m), jnp.float32),  # decoded e_c
+            pltpu.VMEM((tb, m), jnp.float32),  # decoded e_i
         ],
     )
     e = errors.astype(jnp.float32)
+
+    def padded(x):
+        return x if m == n else jnp.pad(x, ((0, 0), (0, m - n)))
+
     ok, conv = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -474,7 +533,7 @@ def circulant_fer_pallas_lean(errors, shifts, w: int, error_rate: float,
             jax.ShapeDtypeStruct((b, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
-    )(jnp.asarray(shifts, jnp.int32), e[:, :n], e[:, n:])
+    )(jnp.asarray(shifts, jnp.int32), padded(e[:, :n]), padded(e[:, n:]))
     return ok[:, 0] > 0.5, conv[:, 0] > 0.5
 
 

@@ -83,11 +83,17 @@ def test_pallas_compact_decodes_like_full():
     assert np.asarray(conv_full).all() and np.asarray(conv_cpt).all()
 
 
-def test_pallas_lean_matches_full():
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("n", [128, 150])
+def test_pallas_lean_matches_full(n):
     """The lean (loop-rolled, shifts-as-data) kernels decode and classify
     like the unrolled ones.  This is the VMEM-feasible path for HQC-256
     (the unrolled kernels' register spills measurably exceed 128 MB
-    there) and compiles once for every weight-w circulant."""
+    there) and compiles once for every weight-w circulant.  n=150
+    exercises the lane-alignment padding (mod-n rotation composed from
+    two aligned rolls; Mosaic rejects dynamic rolls on unaligned axes)."""
     import jax
     from jax.experimental.pallas import tpu as pltpu
 
@@ -99,7 +105,7 @@ def test_pallas_lean_matches_full():
     )
 
     rng = make_random_state(5)
-    n, w = 128, 4
+    w = 4
     row = random_circulant_first_row(n, w, rng)
     lay = CirculantLayout.from_first_row(row, with_identity=True)
     B = 8
