@@ -398,6 +398,7 @@ def circulant_bp_pallas_lean(prior_c, prior_i, syndrome, shifts, w: int,
     where the unrolled kernels measurably OOM).  ``shifts``: [w] int32."""
     b, n = syndrome.shape
     assert b % tb == 0, f"batch {b} not a multiple of tile {tb}"
+    assert len(shifts) == w, f"{len(shifts)} shifts != static w={w}"
     m = ((n + 127) // 128) * 128  # lane-aligned column count
     kernel = _make_lean_kernel(n, w, tb, max_iter, m=m)
 
@@ -497,6 +498,7 @@ def circulant_fer_pallas_lean(errors, shifts, w: int, error_rate: float,
     b = errors.shape[0]
     n = errors.shape[1] // 2
     assert b % tb == 0
+    assert len(shifts) == w, f"{len(shifts)} shifts != static w={w}"
     m = ((n + 127) // 128) * 128  # lane-aligned column count
     prior = float(np.log((1 - error_rate) / error_rate))
     kernel = _make_lean_fer_kernel(n, w, tb, max_iter, prior, m=m)
