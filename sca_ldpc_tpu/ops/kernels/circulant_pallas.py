@@ -264,7 +264,15 @@ def _make_roll_mod(n, m, tb):
     return roll_mod
 
 
-def _make_lean_kernel(n, w, tb, max_iter, m=None):
+def _pick_group(w, max_group=6):
+    """Largest plane-group size <= max_group dividing w (>=1)."""
+    for g in range(min(max_group, w), 0, -1):
+        if w % g == 0:
+            return g
+    return 1
+
+
+def _make_lean_kernel(n, w, tb, max_iter, m=None, group=None, bf16_rolls=False):
     """``m``: padded (lane-aligned) column count; None = n (no padding).
     With m > n the logical mod-n rotation on the zero-padded [TB, M]
     planes is composed from two aligned dynamic rolls: positions i >= k
@@ -273,13 +281,45 @@ def _make_lean_kernel(n, w, tb, max_iter, m=None):
     [0, n), and the pad tail is re-zeroed so cross-column flows stay
     clean (column-local garbage in the pad region is harmless).  Mosaic
     rejects dynamic-shift rolls on unaligned axes ('unsupported
-    unaligned shape' at N=57,637), which is what the padding solves."""
+    unaligned shape' at N=57,637), which is what the padding solves.
+
+    Round-3 structure (2 passes/iteration instead of 3, grouped planes):
+
+    - The old pass 1 (stream planes to build the check accumulators) is
+      FUSED into the previous iteration's plane-rewrite pass: when pass B
+      writes v2c[t] it immediately accumulates the next iteration's
+      phi-sum and sign-product from the value it just wrote.  One whole
+      per-plane VMEM pass (plane load + two accumulator read-modify-
+      writes) disappears.
+    - Plane loops run in groups of ``group`` (static, divides w): the
+      group's planes are unrolled, per-plane partial results accumulate
+      in registers, and the VMEM accumulators are touched once per group
+      instead of once per plane — the accumulator RMW traffic drops by
+      the group factor while register liveness stays bounded (the w-wide
+      unrolled kernels spill 94.6 MB at HQC-256; see BASELINE.md).
+    - ``bf16_rolls=True`` performs the two composed rolls per plane on
+      bfloat16 data (the extrinsic is already stored bf16; the variable
+      total is cast once per iteration), halving roll traffic — the
+      dominant VMEM term.  Signs are preserved under bf16 rounding, so
+      syndrome/convergence semantics are unchanged; message values shift
+      by <= 1 bf16 ulp relative to the f32-roll path (messages are
+      stored bf16 either way).  Off by default; conformance-tested
+      statistically like the compact variant.
+
+    Grouped accumulation changes float association order vs the
+    plane-sequential unrolled kernels, so lean is conformance-tested on
+    hard decisions / FER (tests/test_pallas_kernel.py), not bitwise.
+    """
     if m is None:
         m = n
+    if group is None:
+        group = _pick_group(w)
+    assert w % group == 0, f"group {group} must divide w={w}"
+    ngroups = w // group
 
     def kernel(shifts_ref, prior_c_ref, prior_i_ref, syn_ref,
                e_c_ref, e_i_ref, conv_ref,
-               v2c, c2v, acc_phi, acc_sgn, tot):
+               v2c, c2v, acc_phi, acc_sgn, tot, syn_acc):
         pc = prior_c_ref[:]  # [TB, M] (zero pad beyond N)
         pi = prior_i_ref[:]
         syn = syn_ref[:]
@@ -295,45 +335,50 @@ def _make_lean_kernel(n, w, tb, max_iter, m=None):
         def load_plane(ref, t):
             return ref[pl.ds(t, 1)][0].astype(jnp.float32)
 
+        # Plane init + initial check accumulators (phi/sign of the
+        # bf16-stored planes, exactly what the old pass 1 would read).
+        acc_phi[:] = phi_pi
+        acc_sgn[:] = sgn_pi * sign_syn
+
         def init_plane(t, _):
-            store_plane(v2c, t,
-                        roll_mod(pc, shifts_ref[t]).astype(jnp.bfloat16))
+            val = roll_mod(pc, shifts_ref[t]).astype(jnp.bfloat16)
+            store_plane(v2c, t, val)
+            val_f = val.astype(jnp.float32)
+            acc_phi[:] = acc_phi[:] + _phi(jnp.abs(val_f))
+            acc_sgn[:] = acc_sgn[:] * jnp.where(val_f >= 0, 1.0, -1.0)
             return 0
 
         jax.lax.fori_loop(0, w, init_plane, 0)
 
         def one_iteration():
-            # pass 1: check accumulators (identity plane hoisted)
-            acc_phi[:] = phi_pi
-            acc_sgn[:] = sgn_pi * sign_syn
-
-            def p1(t, _):
-                plane = load_plane(v2c, t)
-                acc_phi[:] = acc_phi[:] + _phi(jnp.abs(plane))
-                acc_sgn[:] = acc_sgn[:] * jnp.where(plane >= 0, 1.0, -1.0)
-                return 0
-
-            jax.lax.fori_loop(0, w, p1, 0)
-            phi_sum = acc_phi[:]
-            sgn_prod = acc_sgn[:]
-            ext_i = sgn_prod * sgn_pi * _phi(
-                jnp.maximum(phi_sum - phi_pi, 1e-9)
-            )
-
-            # pass 2: extrinsics (cached bf16) + variable totals
+            # ---- pass A: extrinsics (cached bf16) + variable totals.
+            # acc_phi/acc_sgn hold the check accumulators for THIS
+            # iteration (built by the previous pass B / plane init).
             tot[:] = pc
 
-            def p2(t, _):
-                plane = load_plane(v2c, t)
-                pm_t = _phi(jnp.abs(plane))
-                ext = (sgn_prod * jnp.where(plane >= 0, 1.0, -1.0)
-                       * _phi(jnp.maximum(phi_sum - pm_t, 1e-9)))
-                store_plane(c2v, t, ext.astype(jnp.bfloat16))
-                tot[:] = tot[:] + roll_mod(ext, n - shifts_ref[t])
+            def pA(g, _):
+                phi_sum = acc_phi[:]
+                sgn_prod = acc_sgn[:]
+                g_tot = None
+                for j in range(group):
+                    t = g * group + j
+                    plane = load_plane(v2c, t)
+                    pm_t = _phi(jnp.abs(plane))
+                    ext = (sgn_prod * jnp.where(plane >= 0, 1.0, -1.0)
+                           * _phi(jnp.maximum(phi_sum - pm_t, 1e-9)))
+                    ext_bf = ext.astype(jnp.bfloat16)
+                    store_plane(c2v, t, ext_bf)
+                    src = ext_bf if bf16_rolls else ext
+                    r = roll_mod(src, n - shifts_ref[t]).astype(jnp.float32)
+                    g_tot = r if g_tot is None else g_tot + r
+                tot[:] = tot[:] + g_tot
                 return 0
 
-            jax.lax.fori_loop(0, w, p2, 0)
+            jax.lax.fori_loop(0, ngroups, pA, 0)
             tot_c = tot[:]
+            ext_i = acc_sgn[:] * sgn_pi * _phi(
+                jnp.maximum(acc_phi[:] - phi_pi, 1e-9)
+            )
             tot_i = pi + ext_i
             e_c = jnp.where(tot_c < 0, 1.0, 0.0)
             e_i = jnp.where(tot_i < 0, 1.0, 0.0)
@@ -345,23 +390,42 @@ def _make_lean_kernel(n, w, tb, max_iter, m=None):
                 e_c = jnp.where(col < n, e_c, 0.0)
                 e_i = jnp.where(col < n, e_i, 0.0)
 
-            # pass 3: plane rewrite + convergence syndrome (shares the
-            # rolls: sign of roll(tot_c, k) IS roll(e_c, k)); syn_hat
-            # accumulates in acc_phi's slot (free after pass 2).
-            acc_phi[:] = e_i
+            # ---- pass B: plane rewrite + convergence syndrome (shares
+            # the rolls: sign of roll(tot_c, k) IS roll(e_c, k)) + the
+            # NEXT iteration's check accumulators from the values written.
+            syn_acc[:] = e_i
+            acc_phi[:] = phi_pi
+            acc_sgn[:] = sgn_pi * sign_syn
+            tot_src = tot_c.astype(jnp.bfloat16) if bf16_rolls else tot_c
 
-            def p3(t, _):
-                rolled = roll_mod(tot_c, shifts_ref[t])
-                ext = load_plane(c2v, t)
-                store_plane(
-                    v2c, t,
-                    jnp.clip(rolled - ext, -_BIG, _BIG).astype(jnp.bfloat16),
-                )
-                acc_phi[:] = acc_phi[:] + jnp.where(rolled < 0, 1.0, 0.0)
+            def pB(g, _):
+                g_syn = None
+                g_phi = None
+                g_sgn = None
+                for j in range(group):
+                    t = g * group + j
+                    rolled = roll_mod(tot_src, shifts_ref[t]).astype(
+                        jnp.float32
+                    )
+                    ext = load_plane(c2v, t)
+                    newp = jnp.clip(rolled - ext, -_BIG, _BIG).astype(
+                        jnp.bfloat16
+                    )
+                    store_plane(v2c, t, newp)
+                    np_f = newp.astype(jnp.float32)
+                    sb = jnp.where(rolled < 0, 1.0, 0.0)
+                    ph = _phi(jnp.abs(np_f))
+                    sg = jnp.where(np_f >= 0, 1.0, -1.0)
+                    g_syn = sb if g_syn is None else g_syn + sb
+                    g_phi = ph if g_phi is None else g_phi + ph
+                    g_sgn = sg if g_sgn is None else g_sgn * sg
+                syn_acc[:] = syn_acc[:] + g_syn
+                acc_phi[:] = acc_phi[:] + g_phi
+                acc_sgn[:] = acc_sgn[:] * g_sgn
                 return 0
 
-            jax.lax.fori_loop(0, w, p3, 0)
-            syn_hat = acc_phi[:]
+            jax.lax.fori_loop(0, ngroups, pB, 0)
+            syn_hat = syn_acc[:]
             syn_hat = syn_hat - 2.0 * jnp.floor(syn_hat * 0.5)  # mod 2
             ok = jnp.sum(jnp.abs(syn_hat - syn), axis=-1, keepdims=True) == 0.0
             return e_c, e_i, ok
@@ -389,18 +453,22 @@ def _make_lean_kernel(n, w, tb, max_iter, m=None):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("w", "max_iter", "tb"))
+@partial(jax.jit, static_argnames=("w", "max_iter", "tb", "group",
+                                   "bf16_rolls"))
 def circulant_bp_pallas_lean(prior_c, prior_i, syndrome, shifts, w: int,
-                             max_iter: int, tb: int = 8):
+                             max_iter: int, tb: int = 8, group: int = None,
+                             bf16_rolls: bool = False):
     """Lean decode: like circulant_bp_pallas(method="product_sum") but with
     the circulant shifts as DATA — one compile serves every weight-w
     circulant — and loop-rolled planes (VMEM-feasible at HQC-256 sizes
-    where the unrolled kernels measurably OOM).  ``shifts``: [w] int32."""
+    where the unrolled kernels measurably OOM).  ``shifts``: [w] int32.
+    ``group``/``bf16_rolls``: see _make_lean_kernel."""
     b, n = syndrome.shape
     assert b % tb == 0, f"batch {b} not a multiple of tile {tb}"
     assert len(shifts) == w, f"{len(shifts)} shifts != static w={w}"
     m = ((n + 127) // 128) * 128  # lane-aligned column count
-    kernel = _make_lean_kernel(n, w, tb, max_iter, m=m)
+    kernel = _make_lean_kernel(n, w, tb, max_iter, m=m, group=group,
+                               bf16_rolls=bf16_rolls)
 
     def padded(x):
         x = x.astype(jnp.float32)
@@ -418,9 +486,10 @@ def circulant_bp_pallas_lean(prior_c, prior_i, syndrome, shifts, w: int,
         scratch_shapes=[
             pltpu.VMEM((w, tb, m), jnp.bfloat16),  # v2c planes
             pltpu.VMEM((w, tb, m), jnp.bfloat16),  # cached extrinsics
-            pltpu.VMEM((tb, m), jnp.float32),  # acc_phi / syn_hat
-            pltpu.VMEM((tb, m), jnp.float32),  # acc_sgn
+            pltpu.VMEM((tb, m), jnp.float32),  # acc_phi (check phi sums)
+            pltpu.VMEM((tb, m), jnp.float32),  # acc_sgn (check sign products)
             pltpu.VMEM((tb, m), jnp.float32),  # variable totals
+            pltpu.VMEM((tb, m), jnp.float32),  # syn_hat accumulator
         ],
     )
     e_c, e_i, conv = pl.pallas_call(
@@ -442,15 +511,17 @@ def circulant_bp_pallas_lean(prior_c, prior_i, syndrome, shifts, w: int,
     return e, conv[:, 0] > 0.5
 
 
-def _make_lean_fer_kernel(n, w, tb, max_iter, prior, m=None):
+def _make_lean_fer_kernel(n, w, tb, max_iter, prior, m=None, group=None,
+                          bf16_rolls=False):
     prior_f = float(prior)
     if m is None:
         m = n
-    base = _make_lean_kernel(n, w, tb, max_iter, m=m)
+    base = _make_lean_kernel(n, w, tb, max_iter, m=m, group=group,
+                             bf16_rolls=bf16_rolls)
     roll_mod = _make_roll_mod(n, m, tb)
 
     def kernel(shifts_ref, e_c_ref, e_i_ref, ok_ref, conv_out,
-               v2c, c2v, acc_phi, acc_sgn, tot, eh_c, eh_i):
+               v2c, c2v, acc_phi, acc_sgn, tot, syn_acc, eh_c, eh_i):
         e_c = e_c_ref[:]  # [TB, M] f32 0/1 true errors (zero pad)
         e_i = e_i_ref[:]
 
@@ -479,7 +550,7 @@ def _make_lean_fer_kernel(n, w, tb, max_iter, prior, m=None):
             colm = jax.lax.broadcasted_iota(jnp.int32, (tb, m), 1)
             pc = jnp.where(colm < n, pc, 0.0)
         base(shifts_ref, _Const(pc), _Const(pc), _Const(syn), eh_c, eh_i,
-             conv_out, v2c, c2v, acc_phi, acc_sgn, tot)
+             conv_out, v2c, c2v, acc_phi, acc_sgn, tot, syn_acc)
 
         diff = jnp.sum(jnp.abs(eh_c[:] - e_c), axis=-1, keepdims=True)
         diff = diff + jnp.sum(jnp.abs(eh_i[:] - e_i), axis=-1, keepdims=True)
@@ -488,9 +559,11 @@ def _make_lean_fer_kernel(n, w, tb, max_iter, prior, m=None):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("w", "max_iter", "tb", "error_rate"))
+@partial(jax.jit, static_argnames=("w", "max_iter", "tb", "error_rate",
+                                   "group", "bf16_rolls"))
 def circulant_fer_pallas_lean(errors, shifts, w: int, error_rate: float,
-                              max_iter: int, tb: int = 8):
+                              max_iter: int, tb: int = 8, group: int = None,
+                              bf16_rolls: bool = False):
     """Lean FER step: [B, 2N] error bits -> ([B] success, [B] converged),
     shifts as data, loop-rolled planes (see circulant_bp_pallas_lean)."""
     import numpy as np
@@ -501,7 +574,8 @@ def circulant_fer_pallas_lean(errors, shifts, w: int, error_rate: float,
     assert len(shifts) == w, f"{len(shifts)} shifts != static w={w}"
     m = ((n + 127) // 128) * 128  # lane-aligned column count
     prior = float(np.log((1 - error_rate) / error_rate))
-    kernel = _make_lean_fer_kernel(n, w, tb, max_iter, prior, m=m)
+    kernel = _make_lean_fer_kernel(n, w, tb, max_iter, prior, m=m,
+                                   group=group, bf16_rolls=bf16_rolls)
 
     spec = pl.BlockSpec((tb, m), lambda i, *_: (i, 0),
                         memory_space=pltpu.VMEM)
@@ -515,9 +589,10 @@ def circulant_fer_pallas_lean(errors, shifts, w: int, error_rate: float,
         scratch_shapes=[
             pltpu.VMEM((w, tb, m), jnp.bfloat16),  # v2c planes
             pltpu.VMEM((w, tb, m), jnp.bfloat16),  # cached extrinsics
-            pltpu.VMEM((tb, m), jnp.float32),  # acc_phi / syn_hat
+            pltpu.VMEM((tb, m), jnp.float32),  # acc_phi (check phi sums)
             pltpu.VMEM((tb, m), jnp.float32),  # acc_sgn
             pltpu.VMEM((tb, m), jnp.float32),  # variable totals
+            pltpu.VMEM((tb, m), jnp.float32),  # syn_hat accumulator
             pltpu.VMEM((tb, m), jnp.float32),  # decoded e_c
             pltpu.VMEM((tb, m), jnp.float32),  # decoded e_i
         ],
