@@ -215,6 +215,7 @@ def simulate_hqc_attacks_batched(
     max_oracle_calls=None,
     oracle_backend="fast",
     decode_backend="general",
+    **attack_kwargs,
 ):
     """Run len(seeds) independent attack instances with batched decodes.
 
@@ -224,6 +225,14 @@ def simulate_hqc_attacks_batched(
     batches checks-only decodes at a persistent fixed capacity (one compile
     shape, the fastest TPU path); "general" batches bucketed checks-only
     decodes.
+
+    ``oracle_backend="timing"`` runs every instance against the MEASURED
+    timing channel: instances profile/calibrate their own keys and their
+    cycle-timed measurement blocks serialize on
+    eval_oracle.MEASUREMENT_LOCK (timing is a host-global resource), while
+    decode rounds still batch on device.  Extra ``attack_kwargs``
+    (timing_measure, timing_profile_measurements, ...) forward to
+    simulate_hqc_idealized_oracle.
     """
     if decode_backend == "circulant":
         executor = BatchedCirculantDecodeExecutor(len(seeds))
@@ -251,6 +260,7 @@ def simulate_hqc_attacks_batched(
                 decode_executor=executor,
                 decode_backend=decode_backend,
                 keypair=keypairs[i],
+                **attack_kwargs,
             )
         finally:
             executor.deregister()

@@ -26,6 +26,7 @@ epochs (the reference measured on an otherwise-idle laptop):
 import json
 import logging
 import os
+import threading
 
 from .attack import (
     read_or_generate_keypair,
@@ -64,8 +65,17 @@ def _percentile(samples, measure):
 
 def oracle(HQC, ct, priv, measure):
     """First-percentile of cycle-timed decapsulations (hqc_eval_oracle.py:34-37)."""
-    samples = HQC.decode_oracle(ct, priv, measure)
+    with MEASUREMENT_LOCK:
+        samples = HQC.decode_oracle(ct, priv, measure)
     return _percentile(samples, measure)
+
+
+# Cycle-timed measurements are a host-global resource: two threads timing
+# decapsulations concurrently corrupt each other's samples (cache/SMT/core
+# contention).  Batched multi-instance timing attacks (batched.py with
+# oracle_backend="timing") serialize every measurement block on this lock;
+# single-instance runs pay one uncontended acquire per block.
+MEASUREMENT_LOCK = threading.RLock()
 
 
 def _measure_interleaved(HQC, priv, cts, measurements, chunk,
@@ -76,7 +86,18 @@ def _measure_interleaved(HQC, priv, cts, measurements, chunk,
 
     With ``cycle_stats`` also returns the per-round-robin-cycle percentile
     estimates ``[n_cycles][n_cts]`` — paired within-cycle statistics whose
-    differences are immune to drift slower than one cycle."""
+    differences are immune to drift slower than one cycle.
+
+    The whole interleaved block holds MEASUREMENT_LOCK: the probe/reference
+    chunks must be contiguous in time for drift cancellation, and
+    measurements from concurrent attack instances must not interleave."""
+    with MEASUREMENT_LOCK:
+        return _measure_interleaved_locked(HQC, priv, cts, measurements,
+                                           chunk, cycle_stats)
+
+
+def _measure_interleaved_locked(HQC, priv, cts, measurements, chunk,
+                                cycle_stats):
     samples = [[] for _ in cts]
     cycles = []
     done = 0
