@@ -102,7 +102,7 @@ def bench_cpu(lay, probs, error_rate, frames=4, max_iter=30, seed=0):
 
 def bench_tpu(lay, probs, batch=4096, steps=20, max_iter=30,
               method="product_sum", tb=8, compact=False, backend="pallas",
-              lean_group=None, lean_bf16=False):
+              lean_group=None, lean_bf16=False, lean_static=False):
     """Fused Pallas decode, measured as `steps` full simulation steps
     (sample -> syndrome -> decode -> compare) inside ONE jitted dispatch —
     per-dispatch latency through the TPU tunnel otherwise dominates.
@@ -139,6 +139,8 @@ def bench_tpu(lay, probs, batch=4096, steps=20, max_iter=30,
             ok, _conv = circulant_fer_pallas_lean(
                 e, np.asarray(shifts), len(shifts), err, max_iter, tb=tb,
                 group=lean_group, bf16_rolls=lean_bf16,
+                static_shifts=tuple(int(k) for k in shifts) if lean_static
+                else None,
             )
         else:
             ok, _conv = circulant_fer_pallas(e, shifts, err, max_iter, tb=tb,

@@ -272,7 +272,8 @@ def _pick_group(w, max_group=6):
     return 1
 
 
-def _make_lean_kernel(n, w, tb, max_iter, m=None, group=None, bf16_rolls=False):
+def _make_lean_kernel(n, w, tb, max_iter, m=None, group=None, bf16_rolls=False,
+                      static_shifts=None):
     """``m``: padded (lane-aligned) column count; None = n (no padding).
     With m > n the logical mod-n rotation on the zero-padded [TB, M]
     planes is composed from two aligned dynamic rolls: positions i >= k
@@ -309,6 +310,15 @@ def _make_lean_kernel(n, w, tb, max_iter, m=None, group=None, bf16_rolls=False):
     Grouped accumulation changes float association order vs the
     plane-sequential unrolled kernels, so lean is conformance-tested on
     hard decisions / FER (tests/test_pallas_kernel.py), not bitwise.
+
+    ``static_shifts`` (tuple of ints): compile the shifts INTO the kernel.
+    Static rolls lower to fixed lane shuffles — measured ~4x the
+    throughput of the dynamic-rotate path at HQC-256, where Mosaic's
+    dynamic rotate is the bottleneck (grouping/pass-fusion moved nothing;
+    see BASELINE.md round 3) — and handle the unaligned raw N axis
+    directly, so no pad and no two-roll composition.  Costs one Mosaic
+    compile per circulant; the dynamic variant (shifts as data, one
+    compile per weight) remains the attack-path default.
     """
     if m is None:
         m = n
@@ -316,6 +326,8 @@ def _make_lean_kernel(n, w, tb, max_iter, m=None, group=None, bf16_rolls=False):
         group = _pick_group(w)
     assert w % group == 0, f"group {group} must divide w={w}"
     ngroups = w // group
+    if static_shifts is not None:
+        assert len(static_shifts) == w and m == n
 
     def kernel(shifts_ref, prior_c_ref, prior_i_ref, syn_ref,
                e_c_ref, e_i_ref, conv_ref,
@@ -327,7 +339,34 @@ def _make_lean_kernel(n, w, tb, max_iter, m=None, group=None, bf16_rolls=False):
         sgn_pi = jnp.where(pi >= 0, 1.0, -1.0)
         phi_pi = _phi(jnp.abs(pi))
 
-        roll_mod = _make_roll_mod(n, m, tb)
+        if static_shifts is not None:
+            def shift_of(t):
+                return static_shifts[t]
+
+            def roll_fn(x, k):  # k: python int, possibly n (identity)
+                return _roll(x, k % n)
+
+            def run_groups(body):
+                for g in range(ngroups):
+                    body(g)
+
+            def run_planes(body):
+                for t in range(w):
+                    body(t)
+        else:
+            roll_mod = _make_roll_mod(n, m, tb)
+
+            def shift_of(t):
+                return shifts_ref[t]
+
+            roll_fn = roll_mod
+
+            def run_groups(body):
+                jax.lax.fori_loop(0, ngroups,
+                                  lambda g, _: (body(g), 0)[1], 0)
+
+            def run_planes(body):
+                jax.lax.fori_loop(0, w, lambda t, _: (body(t), 0)[1], 0)
 
         def store_plane(ref, t, val):
             ref[pl.ds(t, 1)] = val[None]
@@ -340,15 +379,14 @@ def _make_lean_kernel(n, w, tb, max_iter, m=None, group=None, bf16_rolls=False):
         acc_phi[:] = phi_pi
         acc_sgn[:] = sgn_pi * sign_syn
 
-        def init_plane(t, _):
-            val = roll_mod(pc, shifts_ref[t]).astype(jnp.bfloat16)
+        def init_plane(t):
+            val = roll_fn(pc, shift_of(t)).astype(jnp.bfloat16)
             store_plane(v2c, t, val)
             val_f = val.astype(jnp.float32)
             acc_phi[:] = acc_phi[:] + _phi(jnp.abs(val_f))
             acc_sgn[:] = acc_sgn[:] * jnp.where(val_f >= 0, 1.0, -1.0)
-            return 0
 
-        jax.lax.fori_loop(0, w, init_plane, 0)
+        run_planes(init_plane)
 
         def one_iteration():
             # ---- pass A: extrinsics (cached bf16) + variable totals.
@@ -356,7 +394,7 @@ def _make_lean_kernel(n, w, tb, max_iter, m=None, group=None, bf16_rolls=False):
             # iteration (built by the previous pass B / plane init).
             tot[:] = pc
 
-            def pA(g, _):
+            def pA(g):
                 phi_sum = acc_phi[:]
                 sgn_prod = acc_sgn[:]
                 g_tot = None
@@ -369,12 +407,11 @@ def _make_lean_kernel(n, w, tb, max_iter, m=None, group=None, bf16_rolls=False):
                     ext_bf = ext.astype(jnp.bfloat16)
                     store_plane(c2v, t, ext_bf)
                     src = ext_bf if bf16_rolls else ext
-                    r = roll_mod(src, n - shifts_ref[t]).astype(jnp.float32)
+                    r = roll_fn(src, n - shift_of(t)).astype(jnp.float32)
                     g_tot = r if g_tot is None else g_tot + r
                 tot[:] = tot[:] + g_tot
-                return 0
 
-            jax.lax.fori_loop(0, ngroups, pA, 0)
+            run_groups(pA)
             tot_c = tot[:]
             ext_i = acc_sgn[:] * sgn_pi * _phi(
                 jnp.maximum(acc_phi[:] - phi_pi, 1e-9)
@@ -398,13 +435,13 @@ def _make_lean_kernel(n, w, tb, max_iter, m=None, group=None, bf16_rolls=False):
             acc_sgn[:] = sgn_pi * sign_syn
             tot_src = tot_c.astype(jnp.bfloat16) if bf16_rolls else tot_c
 
-            def pB(g, _):
+            def pB(g):
                 g_syn = None
                 g_phi = None
                 g_sgn = None
                 for j in range(group):
                     t = g * group + j
-                    rolled = roll_mod(tot_src, shifts_ref[t]).astype(
+                    rolled = roll_fn(tot_src, shift_of(t)).astype(
                         jnp.float32
                     )
                     ext = load_plane(c2v, t)
@@ -422,9 +459,8 @@ def _make_lean_kernel(n, w, tb, max_iter, m=None, group=None, bf16_rolls=False):
                 syn_acc[:] = syn_acc[:] + g_syn
                 acc_phi[:] = acc_phi[:] + g_phi
                 acc_sgn[:] = acc_sgn[:] * g_sgn
-                return 0
 
-            jax.lax.fori_loop(0, ngroups, pB, 0)
+            run_groups(pB)
             syn_hat = syn_acc[:]
             syn_hat = syn_hat - 2.0 * jnp.floor(syn_hat * 0.5)  # mod 2
             ok = jnp.sum(jnp.abs(syn_hat - syn), axis=-1, keepdims=True) == 0.0
@@ -454,21 +490,26 @@ def _make_lean_kernel(n, w, tb, max_iter, m=None, group=None, bf16_rolls=False):
 
 
 @partial(jax.jit, static_argnames=("w", "max_iter", "tb", "group",
-                                   "bf16_rolls"))
+                                   "bf16_rolls", "static_shifts"))
 def circulant_bp_pallas_lean(prior_c, prior_i, syndrome, shifts, w: int,
                              max_iter: int, tb: int = 8, group: int = None,
-                             bf16_rolls: bool = False):
+                             bf16_rolls: bool = False,
+                             static_shifts: tuple = None):
     """Lean decode: like circulant_bp_pallas(method="product_sum") but with
     the circulant shifts as DATA — one compile serves every weight-w
     circulant — and loop-rolled planes (VMEM-feasible at HQC-256 sizes
     where the unrolled kernels measurably OOM).  ``shifts``: [w] int32.
-    ``group``/``bf16_rolls``: see _make_lean_kernel."""
+    ``group``/``bf16_rolls``/``static_shifts``: see _make_lean_kernel."""
     b, n = syndrome.shape
     assert b % tb == 0, f"batch {b} not a multiple of tile {tb}"
     assert len(shifts) == w, f"{len(shifts)} shifts != static w={w}"
-    m = ((n + 127) // 128) * 128  # lane-aligned column count
+    if static_shifts is not None:
+        m = n  # static rolls handle the unaligned axis directly
+    else:
+        m = ((n + 127) // 128) * 128  # lane-aligned column count
     kernel = _make_lean_kernel(n, w, tb, max_iter, m=m, group=group,
-                               bf16_rolls=bf16_rolls)
+                               bf16_rolls=bf16_rolls,
+                               static_shifts=static_shifts)
 
     def padded(x):
         x = x.astype(jnp.float32)
@@ -500,7 +541,7 @@ def circulant_bp_pallas_lean(prior_c, prior_i, syndrome, shifts, w: int,
             jax.ShapeDtypeStruct((b, m), jnp.float32),
             jax.ShapeDtypeStruct((b, 1), jnp.float32),
         ],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=127 * 1024 * 1024),
     )(
         jnp.asarray(shifts, jnp.int32),
         padded(prior_c),
@@ -512,27 +553,33 @@ def circulant_bp_pallas_lean(prior_c, prior_i, syndrome, shifts, w: int,
 
 
 def _make_lean_fer_kernel(n, w, tb, max_iter, prior, m=None, group=None,
-                          bf16_rolls=False):
+                          bf16_rolls=False, static_shifts=None):
     prior_f = float(prior)
     if m is None:
         m = n
     base = _make_lean_kernel(n, w, tb, max_iter, m=m, group=group,
-                             bf16_rolls=bf16_rolls)
-    roll_mod = _make_roll_mod(n, m, tb)
+                             bf16_rolls=bf16_rolls,
+                             static_shifts=static_shifts)
 
     def kernel(shifts_ref, e_c_ref, e_i_ref, ok_ref, conv_out,
                v2c, c2v, acc_phi, acc_sgn, tot, syn_acc, eh_c, eh_i):
         e_c = e_c_ref[:]  # [TB, M] f32 0/1 true errors (zero pad)
         e_i = e_i_ref[:]
 
-        # syndrome from the true errors, dynamic rolls
+        # syndrome from the true errors
         acc_phi[:] = e_i
 
-        def s1(t, _):
-            acc_phi[:] = acc_phi[:] + roll_mod(e_c, shifts_ref[t])
-            return 0
+        if static_shifts is not None:
+            for k in static_shifts:
+                acc_phi[:] = acc_phi[:] + _roll(e_c, k % n)
+        else:
+            roll_mod = _make_roll_mod(n, m, tb)
 
-        jax.lax.fori_loop(0, w, s1, 0)
+            def s1(t, _):
+                acc_phi[:] = acc_phi[:] + roll_mod(e_c, shifts_ref[t])
+                return 0
+
+            jax.lax.fori_loop(0, w, s1, 0)
         syn = acc_phi[:]
         syn = syn - 2.0 * jnp.floor(syn * 0.5)  # mod 2
 
@@ -560,10 +607,11 @@ def _make_lean_fer_kernel(n, w, tb, max_iter, prior, m=None, group=None,
 
 
 @partial(jax.jit, static_argnames=("w", "max_iter", "tb", "error_rate",
-                                   "group", "bf16_rolls"))
+                                   "group", "bf16_rolls", "static_shifts"))
 def circulant_fer_pallas_lean(errors, shifts, w: int, error_rate: float,
                               max_iter: int, tb: int = 8, group: int = None,
-                              bf16_rolls: bool = False):
+                              bf16_rolls: bool = False,
+                              static_shifts: tuple = None):
     """Lean FER step: [B, 2N] error bits -> ([B] success, [B] converged),
     shifts as data, loop-rolled planes (see circulant_bp_pallas_lean)."""
     import numpy as np
@@ -572,10 +620,14 @@ def circulant_fer_pallas_lean(errors, shifts, w: int, error_rate: float,
     n = errors.shape[1] // 2
     assert b % tb == 0
     assert len(shifts) == w, f"{len(shifts)} shifts != static w={w}"
-    m = ((n + 127) // 128) * 128  # lane-aligned column count
+    if static_shifts is not None:
+        m = n  # static rolls handle the unaligned axis directly
+    else:
+        m = ((n + 127) // 128) * 128  # lane-aligned column count
     prior = float(np.log((1 - error_rate) / error_rate))
     kernel = _make_lean_fer_kernel(n, w, tb, max_iter, prior, m=m,
-                                   group=group, bf16_rolls=bf16_rolls)
+                                   group=group, bf16_rolls=bf16_rolls,
+                                   static_shifts=static_shifts)
 
     spec = pl.BlockSpec((tb, m), lambda i, *_: (i, 0),
                         memory_space=pltpu.VMEM)
@@ -609,7 +661,7 @@ def circulant_fer_pallas_lean(errors, shifts, w: int, error_rate: float,
             jax.ShapeDtypeStruct((b, 1), jnp.float32),
             jax.ShapeDtypeStruct((b, 1), jnp.float32),
         ],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=127 * 1024 * 1024),
     )(jnp.asarray(shifts, jnp.int32), padded(e[:, :n]), padded(e[:, n:]))
     return ok[:, 0] > 0.5, conv[:, 0] > 0.5
 

@@ -137,6 +137,21 @@ def test_pallas_lean_matches_full(n):
         )
     assert (np.asarray(ok_full) == np.asarray(ok_lean)).all()
 
+    # Static-shifts variant (shifts compiled in, no pad composition — the
+    # round-3 HQC-256 throughput path): identical decode and FER flags.
+    with pltpu.force_tpu_interpret_mode():
+        e_st, conv_st = circulant_bp_pallas_lean(
+            pc, pi, synj, np.asarray(lay.shifts), w, 20, tb=4,
+            static_shifts=tuple(int(k) for k in lay.shifts),
+        )
+        ok_st, _ = circulant_fer_pallas_lean(
+            e_noise, np.asarray(lay.shifts), w, 0.01, 20, tb=4,
+            static_shifts=tuple(int(k) for k in lay.shifts),
+        )
+    assert (np.asarray(e_st) == err).all()
+    assert np.asarray(conv_st).all()
+    assert (np.asarray(ok_full) == np.asarray(ok_st)).all()
+
 
 def test_qary_check_kernel_matches_minplus():
     """chain_exclusive_pallas is bitwise-equal to minplus.chain_exclusive."""
