@@ -125,7 +125,12 @@ def bench_tpu(lay, probs, batch=4096, steps=20, max_iter=30,
 
     def one_step(key):
         e = jax.random.bernoulli(key, probs_j[None, :], (batch, 2 * n)).astype(jnp.int8)
-        if backend == "xla":
+        if backend == "lean_static":
+            ok, _conv = circulant_fer_pallas_lean(
+                e, np.asarray(shifts), len(shifts), err, max_iter, tb=tb,
+                static_shifts=tuple(int(k) for k in shifts),
+            )
+        elif backend == "xla":
             e_f = e.astype(jnp.float32)
             syn = e_f[:, n:]
             for k in shifts:
@@ -284,18 +289,21 @@ def bench_param_sets(max_iter=30, steps=10):
       register-allocator spill slots from the w=30 unrolled plane loops,
       so no further scratch dieting closes the gap (tb<8 is rejected by
       the Pallas sublane-divisibility rule).  HQC-256 therefore runs the
-      **lean** kernel (loop-rolled planes, shifts as data, mod-N rotation
-      on a lane-aligned padded axis) — VMEM-resident where the unrolled
-      forms cannot be, and 2.9x the rolled-plane XLA fallback
-      (5,667 vs 1,980 frames/s measured; XLA available as backend="xla",
-      batch<=256 — its [B, W, N] HBM planes OOM at batch 1024).
+      loop-rolled **lean** kernel — VMEM-resident where the unrolled
+      forms cannot be — in its round-3 **lean_static** form (shifts
+      compiled in, static lane-shuffle rolls on the raw unaligned axis):
+      12,889 frames/s vs 5,667 for the shifts-as-data dynamic-rotate
+      form and 1,980 for the rolled-plane XLA fallback (backend="xla",
+      batch<=256 — its [B, W, N] HBM planes OOM at batch 1024).  The
+      dynamic form remains the attack-path default (one compile per
+      weight instead of per circulant).
     Batch is scaled down with N to bound HBM and compile time.
     """
     rows = []
     for name, n, weight, batch, tb, compact, backend in (
         ("hqc128", 17669, 20, 4096, 8, False, "pallas"),
         ("hqc192", 35851, 30, 2048, 8, True, "pallas"),
-        ("hqc256", 57637, 30, 1024, 8, True, "lean"),
+        ("hqc256", 57637, 30, 2048, 8, True, "lean_static"),
     ):
         lay = build_code(seed=0, n=n, weight=weight)
         probs = np.full(lay.n_vars, 0.01, np.float32)
