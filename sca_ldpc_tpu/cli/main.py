@@ -81,6 +81,9 @@ class Commands(CommandsBase):
                                  ">= 2**reduced-from-log2 (accuracy saturates there)")
         parser.add_argument("--reduced-from-log2", type=int, default=13,
                             help="hqc_eval_oracle: level where --reduced-trials kicks in")
+        parser.add_argument("--only-levels", type=int, nargs="+", default=None,
+                            help="hqc_eval_oracle: re-measure only these "
+                                 "measurement counts (others untouched)")
         parser.add_argument("--max-log2-measurements", type=int, default=18,
                             help="hqc_eval_oracle: sweep measurement counts 2^0..2^(max-1)")
         parser.add_argument("--profile-log2", type=int, default=16,
@@ -170,6 +173,7 @@ class Commands(CommandsBase):
             csv_output=args.csv_output,
             chunk_cap=args.chunk_cap,
             decision_rule=args.decision_rule,
+            only_levels=args.only_levels,
         )
         if args.csv_output:
             # the curve is (re)written at every checkpoint; this logs the

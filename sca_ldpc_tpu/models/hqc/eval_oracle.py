@@ -302,8 +302,14 @@ def hqc_eval_oracle(
     csv_output=None,
     chunk_cap=None,
     decision_rule="expansion",
+    only_levels=None,
 ):
     """Full oracle-accuracy evaluation; returns {measurements: accuracy}.
+
+    ``only_levels``: optional collection of measurement counts — other
+    levels are left untouched in the state/CSV (used to re-measure
+    specific contested levels to a higher trial target without first
+    topping up every smaller level).
 
     Long runs (the reference sweeps to 2^17 measurements x 1000 trials,
     hqc_eval_oracle.py:94-112) are made practical by:
@@ -510,6 +516,8 @@ def hqc_eval_oracle(
 
     results = {}
     for log2m, measure in enumerate(measurements_list):
+        if only_levels is not None and measure not in only_levels:
+            continue
         target = num_trials
         if reduced_trials is not None and log2m >= reduced_from_log2:
             target = reduced_trials
