@@ -1006,6 +1006,8 @@ def simulate_hqc_idealized_oracle(
     timing_calibration_trials=100,
     timing_chunk_cap=None,
     timing_pt_target=3,
+    timing_recal_every=1200,
+    timing_recal_trials=20,
 ):
     """Full idealized-oracle key-recovery attack.  Returns (success, tracking).
 
@@ -1040,7 +1042,16 @@ def simulate_hqc_idealized_oracle(
     hqc.py:96-124 — also the maximum this implementation's sampler can
     produce: each of the three sampled vectors overflows its buffer at
     most once, so extras are Binomial(3, ~0.18) and P(garbage >= 3)
-    ~ 0.0055 is the channel's intrinsic fail-class floor)."""
+    ~ 0.0055 is the channel's intrinsic fail-class floor).
+
+    ``timing_recal_every``/``timing_recal_trials``: mid-attack drift
+    recalibration cadence (decisions between recals / known-class probes
+    per class per recal; 0 disables).  Each recal re-centers the decision
+    boundary on the measured success level and refreshes EPSILON from
+    rolling per-class tallies (TimingChannel.recalibrate) — without it the
+    success class degrades asymmetrically under drift because its noise
+    headroom is 0.4 expansion costs vs the fail class's 2.6 (round-3
+    finding, BASELINE.md)."""
     rng = make_random_state(rng)
     params = make_params(param_set, decode_every, weight, error_rate)
     logger.info(f"Params {params}")
@@ -1082,6 +1093,14 @@ def simulate_hqc_idealized_oracle(
             f"Timing-oracle calibrated EPSILON: {params.EPSILON}, "
             f"certainty cap {params.CERTAINTY_CAP}"
         )
+        # Keep the start-of-attack calibration reachable for artifact
+        # scripts: params.EPSILON is live-updated by mid-attack
+        # recalibration, so "calibrated vs live" comparisons need the
+        # initial window preserved separately.
+        tracking.timing_calibration = {
+            "acc_fail": acc_fail, "acc_success": acc_success,
+            "initial_epsilon": tuple(params.EPSILON),
+        }
 
     _x, y_sparse = params.HQC.secrets_from_key(priv)
     y_sparse = sorted(y_sparse)
@@ -1118,10 +1137,26 @@ def simulate_hqc_idealized_oracle(
             if timing_channel is None:
                 from .oracle_timing import TimingChannel
 
+                def _adopt_epsilon(eps):
+                    # Recalibrated per-class accuracy flows straight into
+                    # the Bayesian amplification (which reads
+                    # params.EPSILON on every repeat).
+                    params.EPSILON = (min(eps[0], 0.995),
+                                      min(eps[1], 0.995))
+
+                ct_trials = timing_params["calibration_trials"]
                 timing_channel = TimingChannel(
                     params.HQC, priv, ct, timing_params["gap"],
                     margin=timing_params["margin"],
                     measure=timing_measure, chunk_cap=timing_chunk_cap,
+                    rng=rng, recal_every=timing_recal_every,
+                    recal_trials=timing_recal_trials,
+                    epsilon=params.EPSILON,
+                    calibration_counts=(
+                        timing_params["acc_fail"] * ct_trials, ct_trials,
+                        timing_params["acc_success"] * ct_trials, ct_trials,
+                    ),
+                    on_update=_adopt_epsilon,
                 )
                 # live counters (decaps, measurements, per-class empirical
                 # accuracy) stay reachable from the returned tracking

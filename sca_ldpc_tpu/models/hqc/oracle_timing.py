@@ -61,10 +61,30 @@ class TimingChannel:
     cycles *below* the reference's.  The expansion-aware calibration sets it
     to 0.4x the per-seed-expansion cost; ``gap`` (the profiled class
     separation, positive: failures are faster) is kept for logging.
+
+    **Mid-attack recalibration** (``recal_every`` > 0, needs ``rng``): the
+    margin sits only 0.4 expansion-costs below the success level but 2.6
+    below the fail level, so ambient-noise growth flips success probes ~6x
+    more readily than fail probes — the round-3 finding that live
+    success-class accuracy ran 0.03-0.10 below the start-of-attack
+    calibration while the fail class did not.  Every ``recal_every``
+    decisions the channel re-measures ``recal_trials`` known-fail probes
+    (``modify_beyond_correction_limit`` of the base — guaranteed decode
+    failure, no key needed) and ``recal_trials`` known-success probes
+    (``_success_probe_ct`` — within the correction radius of the unmodified
+    base), then (a) re-centers the decision boundary on the measured
+    success-class median (``offset``, clamped to +-0.5 expansion costs) and
+    (b) refreshes ``epsilon`` from exponentially-decayed rolling per-class
+    tallies seeded by the initial calibration.  ``on_update`` propagates the
+    fresh EPSILON into the attack's Bayesian amplification, so per-check
+    certainties track current conditions instead of a minutes-stale
+    calibration window.
     """
 
     def __init__(self, HQC, priv, base_ct, gap, margin=None, measure=64,
-                 chunk_cap=None, max_retries=8):
+                 chunk_cap=None, max_retries=8, rng=None, recal_every=0,
+                 recal_trials=20, recal_decay=0.65, epsilon=None,
+                 calibration_counts=None, on_update=None):
         self.HQC = HQC
         self.priv = priv
         self.base_ct = bytes(base_ct)
@@ -78,6 +98,24 @@ class TimingChannel:
         self.num_decaps = 0
         self.truth_agree = [0, 0]  # indexed by true answer
         self.truth_total = [0, 0]
+        # drift tracking
+        self.offset = 0.0  # measured success-class level (cycles)
+        self.rng = rng
+        self.recal_every = int(recal_every)
+        self.recal_trials = int(recal_trials)
+        self.recal_decay = float(recal_decay)
+        self.on_update = on_update
+        self.epsilon = tuple(epsilon) if epsilon is not None else None
+        if calibration_counts is not None:
+            cf, nf, cs, ns = calibration_counts
+        else:
+            cf = nf = cs = ns = 0.0
+        self._tallies = [float(cf), float(nf), float(cs), float(ns)]
+        self._decisions_since_recal = 0
+        self._in_recal = False
+        self.num_recals = 0
+        self.num_recal_decaps = 0
+        self.recal_history = []
 
     def rebase(self, base_ct):
         """Point the differential reference at a new attack ciphertext
@@ -90,7 +128,9 @@ class TimingChannel:
             chunk = min(chunk, int(self.chunk_cap))
         return chunk
 
-    def measure_success(self, ct):
+    def _measure_diff(self, ct):
+        """Differential first-percentile estimate (probe minus reference),
+        interleaved chunks, retried when no samples survive."""
         for _ in range(self.max_retries):
             t_probe, t_ref = _measure_interleaved(
                 self.HQC, self.priv, [bytes(ct), self.base_ct],
@@ -98,12 +138,89 @@ class TimingChannel:
             )
             self.num_measurements += 1
             self.num_decaps += 2 * self.measure
+            if self._in_recal:
+                self.num_recal_decaps += 2 * self.measure
             if t_probe is not None and t_ref is not None:
-                return (t_probe - t_ref) > -self.margin
+                return t_probe - t_ref
         raise RuntimeError(
             "timing channel: no usable samples after "
             f"{self.max_retries} measurement attempts (all discarded?)"
         )
+
+    def _classify(self, diff):
+        return (diff - self.offset) > -self.margin
+
+    def measure_success(self, ct):
+        if (self.recal_every and self.rng is not None and not self._in_recal
+                and self._decisions_since_recal >= self.recal_every):
+            self.recalibrate()
+        self._decisions_since_recal += 1
+        return self._classify(self._measure_diff(ct))
+
+    def recalibrate(self, trials=None):
+        """Mid-attack drift correction: measure known-class probes built
+        from the current base ciphertext, re-center the decision boundary
+        on the success class, and refresh the rolling per-class EPSILON.
+
+        Both probe classes are attack-legitimate (no private key):
+        ``modify_beyond_correction_limit`` guarantees a decode failure,
+        ``_success_probe_ct`` stays within the correction radius of the
+        unmodified base.  Cost: ``2 * trials`` decisions' worth of decaps
+        per invocation (~3% overhead at the defaults)."""
+        trials = int(trials if trials is not None else self.recal_trials)
+        self._in_recal = True
+        try:
+            fail_diffs = [
+                self._measure_diff(
+                    modify_beyond_correction_limit(self.HQC, self.rng,
+                                                   self.base_ct))
+                for _ in range(trials)
+            ]
+            succ_diffs = [
+                self._measure_diff(
+                    _success_probe_ct(self.HQC, self.rng, self.base_ct))
+                for _ in range(trials)
+            ]
+        finally:
+            self._in_recal = False
+            self._decisions_since_recal = 0
+        med = sorted(succ_diffs)[len(succ_diffs) // 2]
+        # The boundary tracks the measured success level, but only within
+        # +-0.5 expansion costs (margin = 0.4 costs): a larger excursion
+        # means the channel needs re-profiling, not re-centering, and the
+        # clamp preserves >= 2 expansion costs of fail-class headroom.
+        limit = 1.25 * self.margin
+        self.offset = max(-limit, min(limit, med))
+        correct_f = sum(1 for d in fail_diffs if not self._classify(d))
+        correct_s = sum(1 for d in succ_diffs if self._classify(d))
+        d = self.recal_decay
+        t = self._tallies
+        self._tallies = [d * t[0] + correct_f, d * t[1] + trials,
+                         d * t[2] + correct_s, d * t[3] + trials]
+        acc_f = self._tallies[0] / self._tallies[1]
+        acc_s = self._tallies[2] / self._tallies[3]
+        self.epsilon = (min(acc_f, 0.995), min(acc_s, 0.995))
+        self.num_recals += 1
+        self.recal_history.append({
+            "window_acc_fail": correct_f / trials,
+            "window_acc_success": correct_s / trials,
+            "offset": self.offset,
+            "epsilon": list(self.epsilon),
+        })
+        logger.info(
+            f"Timing recalibration #{self.num_recals}: window acc "
+            f"({correct_f / trials:.3f}, {correct_s / trials:.3f}), "
+            f"success-level offset {med:.0f} -> {self.offset:.0f} cycles, "
+            f"rolling EPSILON {self.epsilon}"
+        )
+        if min(acc_f, acc_s) < 0.55:
+            logger.warning(
+                "timing channel degraded below usable accuracy "
+                f"({acc_f:.3f}, {acc_s:.3f}) — ambient noise likely "
+                "exceeds the channel signal"
+            )
+        if self.on_update is not None:
+            self.on_update(self.epsilon)
 
     def record_truth(self, reported, true_answer):
         """Track live agreement with the (cheating) ground-truth oracle —
@@ -259,7 +376,9 @@ def calibrate_timing_channel(
         if acc_fail >= min_accuracy and acc_success >= min_accuracy:
             params = {"gap": gap, "cost": cost, "margin": margin,
                       "garbage_distribution": garbage,
-                      "fail_ceiling": ceiling}
+                      "fail_ceiling": ceiling,
+                      "acc_fail": acc_fail, "acc_success": acc_success,
+                      "calibration_trials": calibration_trials}
             return params, acc_fail, acc_success, ctnmod
         last_err = (
             f"calibrated accuracy below {min_accuracy} (acc_fail={acc_fail}, "

@@ -45,6 +45,11 @@ def main():
     ap.add_argument("--decode-backend", default="circulant",
                     choices=["general", "padded", "circulant"])
     ap.add_argument("--platform", default="default", choices=["cpu", "default"])
+    ap.add_argument("--recal-every", type=int, default=1200,
+                    help="oracle decisions between mid-attack drift "
+                         "recalibrations (0 disables)")
+    ap.add_argument("--recal-trials", type=int, default=20,
+                    help="known-class probes per class per recalibration")
     args = ap.parse_args()
 
     if args.platform == "cpu":
@@ -55,7 +60,14 @@ def main():
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(name)s %(message)s")
 
+    from _timing_common import (
+        channel_fields,
+        start_partial_writer,
+        write_json,
+    )
+
     from sca_ldpc_tpu.models.hqc import simulate_hqc_idealized_oracle
+    from sca_ldpc_tpu.models.hqc.tracking import HqcSimulationTracking
     from sca_ldpc_tpu.utils import (
         enable_persistent_compilation_cache,
         make_random_state,
@@ -64,50 +76,77 @@ def main():
     enable_persistent_compilation_cache()
 
     t0 = time.time()
-    ok, tracking = simulate_hqc_idealized_oracle(
-        make_random_state(args.seed),
-        args.decode_every,
-        args.code_weight,
-        args.key_file,
-        0.0,
-        args.param_set,
-        max_oracle_calls=args.max_oracle_calls,
-        oracle_backend="timing",
-        decode_backend=args.decode_backend,
-        timing_measure=args.measure,
-        timing_profile_measurements=2**args.profile_log2,
-        timing_calibration_trials=args.calibration_trials,
-        timing_pt_target=args.pt_target,
-    )
+    tracking_box = {}
+    orig_init = HqcSimulationTracking.__init__
+
+    def spy_init(self, *a, **kw):
+        orig_init(self, *a, **kw)
+        tracking_box.setdefault("tracking", self)
+
+    HqcSimulationTracking.__init__ = spy_init
+
+    def base_artifact():
+        return {
+            "experiment": "hqc_timing_attack",
+            "param_set": args.param_set,
+            "key_file": args.key_file,
+            "seed": args.seed,
+            "code_weight": args.code_weight,
+            "decode_every": args.decode_every,
+            "timing_measure": args.measure,
+            "pt_target": args.pt_target,
+            "profile_measurements": 2**args.profile_log2,
+            "recal_every": args.recal_every,
+            "decode_backend": args.decode_backend,
+        }
+
+    def snapshot():
+        art = base_artifact()
+        art["wall_seconds"] = round(time.time() - t0, 1)
+        tr = tracking_box.get("tracking")
+        if tr is not None:
+            art.update(channel_fields(tr))
+        return art
+
+    stop_partial = start_partial_writer(args.out, snapshot, interval=60)
+    try:
+        ok, tracking = simulate_hqc_idealized_oracle(
+            make_random_state(args.seed),
+            args.decode_every,
+            args.code_weight,
+            args.key_file,
+            0.0,
+            args.param_set,
+            max_oracle_calls=args.max_oracle_calls,
+            oracle_backend="timing",
+            decode_backend=args.decode_backend,
+            timing_measure=args.measure,
+            timing_profile_measurements=2**args.profile_log2,
+            timing_calibration_trials=args.calibration_trials,
+            timing_pt_target=args.pt_target,
+            timing_recal_every=args.recal_every,
+            timing_recal_trials=args.recal_trials,
+        )
+    finally:
+        stop_partial()
+        HqcSimulationTracking.__init__ = orig_init
     wall = time.time() - t0
 
-    channel = tracking.timing_channel
-    acc_f, acc_s = channel.empirical_accuracy()
     stats = tracking.decoder_stats[-1] if tracking.decoder_stats else {}
-    artifact = {
-        "experiment": "hqc_timing_attack",
-        "param_set": args.param_set,
-        "key_file": args.key_file,
-        "seed": args.seed,
-        "code_weight": args.code_weight,
-        "decode_every": args.decode_every,
-        "timing_measure": args.measure,
-        "pt_target": args.pt_target,
-        "profile_measurements": 2**args.profile_log2,
-        "calibrated_epsilon": list(tracking.params.EPSILON),
+    artifact = base_artifact()
+    calib = getattr(tracking, "timing_calibration", None)
+    artifact.update({
+        "calibrated_epsilon": (
+            list(calib["initial_epsilon"]) if calib
+            else list(tracking.params.EPSILON)
+        ),
         "success": bool(ok),
         "wall_seconds": round(wall, 1),
-        "oracle_decisions": tracking.num_oracle_calls,
-        "timed_decapsulations": channel.num_decaps,
-        "channel_measurements": channel.num_measurements,
-        "live_accuracy_fail": acc_f,
-        "live_accuracy_success": acc_s,
         "decoder_stats_last": {k: (bool(v) if isinstance(v, bool) else v)
                                for k, v in stats.items()},
-        "decode_backend": args.decode_backend,
-    }
-    with open(args.out, "w") as f:
-        json.dump(artifact, f, indent=1)
+    })
+    artifact.update(channel_fields(tracking))
+    write_json(args.out, artifact)
     print(json.dumps(artifact))
 
     if args.csv:

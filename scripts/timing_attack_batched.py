@@ -38,6 +38,8 @@ def main():
     ap.add_argument("--calibration-trials", type=int, default=150)
     ap.add_argument("--decode-backend", default="circulant")
     ap.add_argument("--platform", default="default", choices=["cpu", "default"])
+    ap.add_argument("--recal-every", type=int, default=1200)
+    ap.add_argument("--recal-trials", type=int, default=20)
     args = ap.parse_args()
 
     if args.platform == "cpu":
@@ -48,21 +50,67 @@ def main():
                         format="%(asctime)s %(name)s %(message)s")
     logging.getLogger("sca_ldpc_tpu").setLevel(logging.WARNING)
 
+    from _timing_common import (
+        channel_fields,
+        start_partial_writer,
+        write_json,
+    )
+
     from sca_ldpc_tpu.models.hqc.batched import simulate_hqc_attacks_batched
+    from sca_ldpc_tpu.models.hqc.tracking import HqcSimulationTracking
     from sca_ldpc_tpu.utils import enable_persistent_compilation_cache
 
     enable_persistent_compilation_cache()
 
     t0 = time.time()
-    results, batched_calls = simulate_hqc_attacks_batched(
-        args.seeds, args.decode_every, args.code_weight,
-        param_set=args.param_set,
-        oracle_backend="timing",
-        decode_backend=args.decode_backend,
-        timing_measure=args.measure,
-        timing_profile_measurements=2**args.profile_log2,
-        timing_calibration_trials=args.calibration_trials,
-    )
+    trackings = []
+    orig_init = HqcSimulationTracking.__init__
+
+    def spy_init(self, *a, **kw):
+        orig_init(self, *a, **kw)
+        trackings.append(self)
+
+    HqcSimulationTracking.__init__ = spy_init
+
+    def run_fields(tracking):
+        fields = {"calibrated_epsilon": None}
+        calib = getattr(tracking, "timing_calibration", None)
+        if calib:
+            fields["calibrated_epsilon"] = list(calib["initial_epsilon"])
+        fields.update(channel_fields(tracking))
+        return fields
+
+    def snapshot():
+        return {
+            "experiment": "hqc_timing_attack_batched",
+            "param_set": args.param_set,
+            "instances": len(args.seeds),
+            "timing_measure": args.measure,
+            "profile_measurements": 2**args.profile_log2,
+            "recal_every": args.recal_every,
+            "decode_backend": args.decode_backend,
+            "wall_seconds": round(time.time() - t0, 1),
+            # thread creation order, not seed order — labeled by index only
+            "runs": [dict(instance=i, **run_fields(tr))
+                     for i, tr in enumerate(list(trackings))],
+        }
+
+    stop_partial = start_partial_writer(args.out, snapshot, interval=60)
+    try:
+        results, batched_calls = simulate_hqc_attacks_batched(
+            args.seeds, args.decode_every, args.code_weight,
+            param_set=args.param_set,
+            oracle_backend="timing",
+            decode_backend=args.decode_backend,
+            timing_measure=args.measure,
+            timing_profile_measurements=2**args.profile_log2,
+            timing_calibration_trials=args.calibration_trials,
+            timing_recal_every=args.recal_every,
+            timing_recal_trials=args.recal_trials,
+        )
+    finally:
+        stop_partial()
+        HqcSimulationTracking.__init__ = orig_init
     wall = time.time() - t0
 
     runs = []
@@ -71,32 +119,21 @@ def main():
             runs.append({"seed": seed, "success": False, "error": "instance died"})
             continue
         ok, tracking = res
-        channel = tracking.timing_channel
-        acc_f, acc_s = channel.empirical_accuracy()
-        runs.append({
-            "seed": seed,
-            "success": bool(ok),
-            "calibrated_epsilon": list(tracking.params.EPSILON),
-            "oracle_decisions": tracking.num_oracle_calls,
-            "timed_decapsulations": channel.num_decaps,
-            "live_accuracy_fail": acc_f,
-            "live_accuracy_success": acc_s,
-        })
+        runs.append(dict(seed=seed, success=bool(ok), **run_fields(tracking)))
     artifact = {
         "experiment": "hqc_timing_attack_batched",
         "param_set": args.param_set,
         "instances": len(args.seeds),
         "timing_measure": args.measure,
         "profile_measurements": 2**args.profile_log2,
+        "recal_every": args.recal_every,
         "decode_backend": args.decode_backend,
         "batched_decode_calls": batched_calls,
         "wall_seconds": round(wall, 1),
         "keys_recovered": sum(1 for r in runs if r.get("success")),
         "runs": runs,
     }
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
-    with open(args.out, "w") as f:
-        json.dump(artifact, f, indent=1)
+    write_json(args.out, artifact)
     print(json.dumps(artifact, indent=1))
 
 

@@ -50,6 +50,8 @@ def main():
     ap.add_argument("--measure", type=int, default=64)
     ap.add_argument("--profile-log2", type=int, default=14)
     ap.add_argument("--calibration-trials", type=int, default=150)
+    ap.add_argument("--recal-every", type=int, default=1200)
+    ap.add_argument("--recal-trials", type=int, default=20)
     args = ap.parse_args()
 
     os.makedirs(args.out_dir, exist_ok=True)
@@ -76,72 +78,149 @@ def main():
 
     enable_persistent_compilation_cache()
 
+    from _timing_common import (
+        channel_fields,
+        start_partial_writer,
+        write_json,
+    )
+
+    from sca_ldpc_tpu.models.hqc.tracking import HqcSimulationTracking
+
     summary = []
     for (name, pset, weight, decode_every, seed, backend, _platform) in runs:
         out = os.path.join(args.out_dir, f"timing_{name}.json")
         if os.path.exists(out):
-            logger.info(f"{name}: artifact exists, skipping")
-            summary.append(json.load(open(out)))
-            continue
+            with open(out) as f:
+                prior = json.load(f)
+            # Only resume artifacts measured under the SAME parameters —
+            # a summary mixing measurement configurations is silently
+            # wrong (advisor finding, round 3).
+            mismatches = {
+                k: (prior.get(k), cur) for k, cur in (
+                    ("timing_measure", args.measure),
+                    ("profile_measurements", 2**args.profile_log2),
+                ) if prior.get(k) != cur
+            }
+            if prior.get("partial") or prior.get("error"):
+                logger.warning(f"{name}: existing artifact is partial or "
+                               "errored (previous run died) — re-running")
+            elif mismatches:
+                logger.warning(
+                    f"{name}: existing artifact measured under different "
+                    f"parameters {mismatches}; skipping it in the summary — "
+                    "delete the file to re-run at the current parameters"
+                )
+                continue
+            else:
+                logger.info(f"{name}: artifact exists, skipping")
+                summary.append(prior)
+                continue
         logger.info(f"=== {name}: param_set={pset} seed={seed} "
                     f"decode={backend} ===")
         t0 = time.time()
-        ok, tracking = simulate_hqc_idealized_oracle(
-            make_random_state(seed),
-            decode_every,
-            weight,
-            None,  # fresh keypair per run
-            0.0,
-            pset,
-            oracle_backend="timing",
-            decode_backend=backend,
-            timing_measure=args.measure,
-            timing_profile_measurements=2**args.profile_log2,
-            timing_calibration_trials=args.calibration_trials,
-        )
+
+        tracking_box = {}
+        orig_init = HqcSimulationTracking.__init__
+
+        def spy_init(self, *a, _box=tracking_box, _orig=orig_init, **kw):
+            _orig(self, *a, **kw)
+            _box.setdefault("tracking", self)
+
+        HqcSimulationTracking.__init__ = spy_init
+
+        def base_artifact(_name=name, _pset=pset, _weight=weight,
+                          _de=decode_every, _seed=seed, _backend=backend):
+            return {
+                "experiment": "hqc_timing_attack",
+                "run": _name,
+                "param_set": _pset,
+                "seed": _seed,
+                "key": "fresh",
+                "code_weight": _weight,
+                "decode_every": _de,
+                "timing_measure": args.measure,
+                "profile_measurements": 2**args.profile_log2,
+                "recal_every": args.recal_every,
+                "decode_backend": _backend,
+            }
+
+        def snapshot(_t0=t0, _base=base_artifact, _box=tracking_box):
+            art = _base()
+            art["wall_seconds"] = round(time.time() - _t0, 1)
+            tr = _box.get("tracking")
+            if tr is not None:
+                art.update(channel_fields(tr))
+            return art
+
+        stop_partial = start_partial_writer(out, snapshot, interval=60)
+        run_error = None
+        try:
+            ok, tracking = simulate_hqc_idealized_oracle(
+                make_random_state(seed),
+                decode_every,
+                weight,
+                None,  # fresh keypair per run
+                0.0,
+                pset,
+                oracle_backend="timing",
+                decode_backend=backend,
+                timing_measure=args.measure,
+                timing_profile_measurements=2**args.profile_log2,
+                timing_calibration_trials=args.calibration_trials,
+                timing_recal_every=args.recal_every,
+                timing_recal_trials=args.recal_trials,
+            )
+        except Exception as e:  # e.g. calibration failure on a noisy window
+            run_error = str(e)
+        finally:
+            stop_partial()
+            HqcSimulationTracking.__init__ = orig_init
         wall = time.time() - t0
-        channel = tracking.timing_channel
-        acc_f, acc_s = channel.empirical_accuracy()
+        if run_error is not None:
+            logger.warning(f"{name}: run failed after {wall:.0f}s: {run_error}")
+            art = snapshot()
+            art["error"] = run_error
+            art["success"] = False
+            write_json(out, art)
+            continue
         stats = tracking.decoder_stats[-1] if tracking.decoder_stats else {}
-        artifact = {
-            "experiment": "hqc_timing_attack",
-            "run": name,
-            "param_set": pset,
-            "seed": seed,
-            "key": "fresh",
-            "code_weight": weight,
-            "decode_every": decode_every,
-            "timing_measure": args.measure,
-            "profile_measurements": 2**args.profile_log2,
-            "calibrated_epsilon": list(tracking.params.EPSILON),
+        calib = getattr(tracking, "timing_calibration", None)
+        artifact = base_artifact()
+        artifact.update({
+            "calibrated_epsilon": (
+                list(calib["initial_epsilon"]) if calib
+                else list(tracking.params.EPSILON)
+            ),
             "success": bool(ok),
             "wall_seconds": round(wall, 1),
-            "oracle_decisions": tracking.num_oracle_calls,
-            "timed_decapsulations": channel.num_decaps,
-            "live_accuracy_fail": acc_f,
-            "live_accuracy_success": acc_s,
             "decoder_stats_last": {k: (bool(v) if isinstance(v, bool) else v)
                                    for k, v in stats.items()},
-            "decode_backend": backend,
-        }
-        with open(out, "w") as f:
-            json.dump(artifact, f, indent=1)
+        })
+        artifact.update(channel_fields(tracking))
+        write_json(out, artifact)
         summary.append(artifact)
-        logger.info(f"{name}: success={ok} wall={wall:.0f}s "
-                    f"eps={artifact['calibrated_epsilon']} "
-                    f"live=({acc_f:.3f},{acc_s:.3f})")
+        logger.info(
+            f"{name}: success={ok} wall={wall:.0f}s "
+            f"eps={artifact['calibrated_epsilon']} "
+            f"live=({artifact['live_accuracy_fail']:.3f},"
+            f"{artifact['live_accuracy_success']:.3f})"
+        )
 
     with open(os.path.join(args.out_dir, "summary.json"), "w") as f:
         json.dump(summary, f, indent=1)
     print("\nrun            set  ok   wall(s)  decisions  decaps     "
           "eps_cal(f,s)      live(f,s)")
     for a in summary:
-        eps = a["calibrated_epsilon"]
+        eps = a.get("calibrated_epsilon") or (float("nan"), float("nan"))
+        lf = a.get("live_accuracy_fail")
+        ls = a.get("live_accuracy_success")
         print(f"{a.get('run', '?'):14s} {a['param_set']:4s} "
-              f"{'Y' if a['success'] else 'N'}  {a['wall_seconds']:8.1f} "
-              f"{a['oracle_decisions']:9d}  {a['timed_decapsulations']:9d} "
+              f"{'Y' if a.get('success') else 'N'}  {a['wall_seconds']:8.1f} "
+              f"{a.get('oracle_decisions', 0):9d}  "
+              f"{a.get('timed_decapsulations', 0):9d} "
               f"({eps[0]:.3f},{eps[1]:.3f})  "
-              f"({a['live_accuracy_fail']:.3f},{a['live_accuracy_success']:.3f})")
+              f"({lf if lf is None else round(lf, 3)},"
+              f"{ls if ls is None else round(ls, 3)})")
 
 
 if __name__ == "__main__":

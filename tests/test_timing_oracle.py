@@ -164,6 +164,104 @@ def test_timing_channel_decision_margin():
         ot._measure_interleaved = orig
 
 
+def test_recalibration_recenters_and_refreshes_epsilon(monkeypatch):
+    """Mid-attack drift recalibration (round-3 finding): when the measured
+    success level drifts below the margin, recalibrate() re-centers the
+    decision boundary on the fresh success-class median, refreshes EPSILON
+    from decayed rolling tallies, and propagates it via on_update — so a
+    drifted success probe that would have been misread flips back to
+    correct."""
+    import sca_ldpc_tpu.models.hqc.oracle_timing as ot
+
+    HQC = Hqc128()
+    rng = make_random_state(3)
+    pub, priv = HQC.keypair()
+    pt = bytes(HQC.new_plaintext())
+    base_ct, _ = HQC.encaps_with_plaintext_and_r1(pub, pt, [])
+
+    calls = {"n": 0}
+    REF = 100000.0
+
+    def fake_measure(HQC_, priv_, cts, measurements, chunk):
+        # Call order: one pre-recal success probe (i=0), then
+        # recalibrate()'s 4 fail probes (i=1..4) and 4 success probes
+        # (i=5..8), then one post-recal success probe.  The success class
+        # has drifted to -2000 cycles; failures sit at -12000.
+        i = calls["n"]
+        calls["n"] += 1
+        diff = -12000.0 if 1 <= i <= 4 else -2000.0
+        return [REF + diff, REF]
+
+    monkeypatch.setattr(ot, "_measure_interleaved", fake_measure)
+
+    updates = []
+    ch = TimingChannel(
+        HQC, priv, base_ct, gap=9000, margin=1800, measure=8, rng=rng,
+        recal_every=50, recal_trials=4, recal_decay=0.65,
+        epsilon=(0.96, 0.99), calibration_counts=(96, 100, 99, 100),
+        on_update=updates.append,
+    )
+    # Pre-recal: a success probe drifted to -2000 cycles reads below the
+    # -1800 margin -> misclassified as failure.
+    assert ch.measure_success(b"\x00" * len(bytes(base_ct))) is False
+
+    ch.recalibrate()
+    # Boundary re-centered on the measured success median (-2000, within
+    # the +-1.25*margin clamp); the same drifted probe now reads success.
+    assert ch.offset == pytest.approx(-2000.0)
+    assert ch.measure_success(b"\x00" * len(bytes(base_ct))) is True
+    # Window was perfect (4/4 both classes) -> rolling tallies blend the
+    # seeded calibration (96/100, 99/100) with the window at decay 0.65.
+    exp_f = (0.65 * 96 + 4) / (0.65 * 100 + 4)
+    exp_s = (0.65 * 99 + 4) / (0.65 * 100 + 4)
+    assert ch.epsilon == pytest.approx((exp_f, min(exp_s, 0.995)))
+    assert updates == [ch.epsilon]
+    assert ch.num_recals == 1
+    assert ch.recal_history[0]["window_acc_fail"] == 1.0
+    assert ch.recal_history[0]["window_acc_success"] == 1.0
+    # Recal decap accounting is separated from decision accounting.
+    assert ch.num_recal_decaps == 8 * 2 * 8
+
+
+def test_recalibration_auto_triggers_and_updates_attack_epsilon(monkeypatch):
+    """measure_success auto-runs recalibrate() every recal_every decisions,
+    and the attack adopts the refreshed EPSILON through on_update (the
+    params.EPSILON pathway used by simulate_hqc_idealized_oracle)."""
+    import sca_ldpc_tpu.models.hqc.oracle_timing as ot
+
+    HQC = Hqc128()
+    rng = make_random_state(4)
+    pub, priv = HQC.keypair()
+    pt = bytes(HQC.new_plaintext())
+    base_ct, _ = HQC.encaps_with_plaintext_and_r1(pub, pt, [])
+
+    monkeypatch.setattr(
+        ot, "_measure_interleaved",
+        lambda *a, **k: [100000.0 - 12000.0, 100000.0],
+    )
+    params = _mini_params()
+    params.EPSILON = (0.9, 0.9)
+
+    def adopt(eps):
+        params.EPSILON = eps
+
+    ch = TimingChannel(
+        HQC, priv, base_ct, gap=9000, margin=1800, measure=8, rng=rng,
+        recal_every=3, recal_trials=2, calibration_counts=(9, 10, 9, 10),
+        on_update=adopt,
+    )
+    for _ in range(3):
+        ch.measure_success(base_ct)
+    assert ch.num_recals == 0
+    ch.measure_success(base_ct)  # 4th decision crosses recal_every=3
+    assert ch.num_recals == 1
+    # fail probes (diff -12000) classify correctly; success probes (same
+    # mocked diff) misclassify -> the refreshed EPSILON reflects the
+    # broken success class and reached the attack's params.
+    assert params.EPSILON == ch.epsilon
+    assert ch.epsilon[0] > 0.9 and ch.epsilon[1] < 0.8
+
+
 def test_calibration_rejects_broken_channel(monkeypatch):
     """A channel whose calibrated accuracy is below min_accuracy must raise
     after re-profiling, never silently clamp (advisor finding)."""
