@@ -295,8 +295,10 @@ def bench_param_sets(max_iter=30, steps=10):
       12,889 frames/s vs 5,667 for the shifts-as-data dynamic-rotate
       form and 1,980 for the rolled-plane XLA fallback (backend="xla",
       batch<=256 — its [B, W, N] HBM planes OOM at batch 1024).  The
-      dynamic form remains the attack-path default (one compile per
-      weight instead of per circulant).
+      dynamic form remains the default for bench/FER work on fresh
+      random circulants (one compile per weight instead of per
+      circulant; the attack's circulant decode uses the XLA rolled-plane
+      path in ops/circulant_bp.py, not this kernel).
     Batch is scaled down with N to bound HBM and compile time.
     """
     rows = []

@@ -346,6 +346,17 @@ def hqc_eval_oracle(
 
     HQC = Hqc128()
     measurements_list = [2**x for x in range(max_log2_measurements)]
+    if only_levels is not None:
+        only_levels = {int(m) for m in only_levels}
+        unknown = only_levels - set(measurements_list)
+        if unknown:
+            # A typo'd level (e.g. 1000) would otherwise silently no-op
+            # and return an empty results dict (advisor finding, round 3).
+            raise ValueError(
+                f"only_levels entries {sorted(unknown)} match no sweep "
+                f"level; levels are powers of two up to "
+                f"2^{max_log2_measurements - 1}: {measurements_list}"
+            )
 
     pub, priv = read_or_generate_keypair(HQC, keyfile)
     key_fp = hashlib.sha256(bytes(pub) + bytes(priv)).hexdigest()

@@ -298,14 +298,13 @@ def _make_lean_kernel(n, w, tb, max_iter, m=None, group=None, bf16_rolls=False,
       instead of once per plane — the accumulator RMW traffic drops by
       the group factor while register liveness stays bounded (the w-wide
       unrolled kernels spill 94.6 MB at HQC-256; see BASELINE.md).
-    - ``bf16_rolls=True`` performs the two composed rolls per plane on
-      bfloat16 data (the extrinsic is already stored bf16; the variable
-      total is cast once per iteration), halving roll traffic — the
-      dominant VMEM term.  Signs are preserved under bf16 rounding, so
-      syndrome/convergence semantics are unchanged; message values shift
-      by <= 1 bf16 ulp relative to the f32-roll path (messages are
-      stored bf16 either way).  Off by default; conformance-tested
-      statistically like the compact variant.
+    - ``bf16_rolls=True`` would halve roll traffic by rolling the bf16
+      extrinsics directly, but it is NON-FUNCTIONAL ON TPU: Mosaic
+      rejects rotates on non-32-bit data ("Rotate with non-32-bit
+      data"), dynamic and static alike (measured round 3,
+      artifacts/logs/lean_static_bf16_r3.log).  The flag only runs under
+      ``interpret=True`` and exists to document the measured dead end —
+      do not enable it on hardware.
 
     Grouped accumulation changes float association order vs the
     plane-sequential unrolled kernels, so lean is conformance-tested on
@@ -318,12 +317,22 @@ def _make_lean_kernel(n, w, tb, max_iter, m=None, group=None, bf16_rolls=False,
     see BASELINE.md round 3) — and handle the unaligned raw N axis
     directly, so no pad and no two-roll composition.  Costs one Mosaic
     compile per circulant; the dynamic variant (shifts as data, one
-    compile per weight) remains the attack-path default.
+    compile per weight) remains the default for bench/FER work on fresh
+    random circulants (the attack's circulant decode is the XLA
+    rolled-plane path in ops/circulant_bp.py, not this kernel).
+
+    ``group`` default: 1 on the dynamic-rotate path — round-3
+    measurements show grouping monotonically SLOWS it (5,417/5,168/4,971
+    frames/s at groups 1/3/5 vs 5,667 for the ungrouped round-2
+    structure; the rolls dominate, so saving accumulator RMWs buys
+    nothing) — and _pick_group(w) on the static path, where group is
+    measured immaterial (12,889 vs 12,679 at groups 1/5).  Grouping on
+    the dynamic path stays available via an explicit ``group=``.
     """
     if m is None:
         m = n
     if group is None:
-        group = _pick_group(w)
+        group = _pick_group(w) if static_shifts is not None else 1
     assert w % group == 0, f"group {group} must divide w={w}"
     ngroups = w // group
     if static_shifts is not None:
