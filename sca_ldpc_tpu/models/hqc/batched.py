@@ -206,6 +206,79 @@ class BatchedCirculantDecodeExecutor(BatchedDecodeExecutor):
             )
 
 
+class ShardedCirculantDecodeExecutor(BatchedCirculantDecodeExecutor):
+    """Mesh-sharded batched decode rounds: the batched attack's periodic
+    masked-circulant decodes distributed over a ``jax.sharding.Mesh``
+    (parallel.attack.make_sharded_masked_decode) instead of pipelined
+    single-chip dispatches.
+
+    The instance axis is padded (by repeating the last instance) to a
+    multiple of the device count, sharded over every mesh axis, and
+    decoded by ONE compiled program — the multi-chip scale-out story for
+    the reference's only scale-out axis (run-parallel-hqc-simulation.sh's
+    process-per-config sweep).
+
+    ``crosscheck=True`` additionally decodes every instance through the
+    production single-chip path (ops.circulant_bp._multi_circulant_bp,
+    exactly what BatchedCirculantDecodeExecutor dispatches) and asserts
+    the sharded error vectors are IDENTICAL — a sharded decode returning
+    garbage cannot pass a round (used by __graft_entry__.dryrun_multichip).
+    """
+
+    def __init__(self, num_instances, mesh, max_iter=100,
+                 method="product_sum", crosscheck=False):
+        super().__init__(num_instances, max_iter, method)
+        from ...parallel.attack import make_sharded_masked_decode
+
+        self.mesh = mesh
+        self.crosscheck = crosscheck
+        self._sharded_decode = make_sharded_masked_decode(
+            mesh, max_iter=max_iter, method=method
+        )
+
+    def _execute(self, items):
+        import jax.numpy as jnp
+
+        from ...ops.circulant_bp import _multi_circulant_bp
+
+        p_pad = max(len(dec._block_shifts) for _tid, (dec, _t, _c, _y) in items)
+        builds = [
+            (tid, dec, tr, checks, y,
+             *dec.build_masked_arrays(checks, y, p_pad=p_pad))
+            for tid, (dec, tr, checks, y) in items
+        ]
+        n_dev = self.mesh.devices.size
+        pad = (-len(builds)) % n_dev
+        logger.info(
+            f"Sharded masked-circulant decode: {len(items)} instances "
+            f"(+{pad} pad) over {n_dev} devices, P_pad={p_pad}"
+        )
+        stack = [np.stack([b[k] for b in builds] + [builds[-1][k]] * pad)
+                 for k in (5, 6, 7, 8)]  # pc, pi, syn, shifts
+        e_c, e_i, _conv = self._sharded_decode(
+            *(jnp.asarray(a) for a in stack)
+        )
+        e_c = np.asarray(e_c)
+        e_i = np.asarray(e_i)
+        if self.crosscheck:
+            for i, b in enumerate(builds):
+                rc, ri, _cv, _it = _multi_circulant_bp(
+                    jnp.asarray(b[5][None]), jnp.asarray(b[6][None]),
+                    jnp.asarray(b[7][None]), jnp.asarray(b[8]),
+                    self.max_iter, self.method,
+                )
+                assert (np.asarray(rc[0]) == e_c[i]).all() and (
+                    np.asarray(ri[0]) == e_i[i]
+                ).all(), (
+                    f"sharded decode diverged from the single-chip path "
+                    f"for instance {i}"
+                )
+        for i, (tid, dec, tr, checks, y, *_rest) in enumerate(builds):
+            self._results[tid] = dec.stats_from_masked(
+                tr, e_c[i], e_i[i], checks, y
+            )
+
+
 def simulate_hqc_attacks_batched(
     seeds,
     decode_every: int,
@@ -215,6 +288,7 @@ def simulate_hqc_attacks_batched(
     max_oracle_calls=None,
     oracle_backend="fast",
     decode_backend="general",
+    executor=None,
     **attack_kwargs,
 ):
     """Run len(seeds) independent attack instances with batched decodes.
@@ -234,7 +308,9 @@ def simulate_hqc_attacks_batched(
     (timing_measure, timing_profile_measurements, ...) forward to
     simulate_hqc_idealized_oracle.
     """
-    if decode_backend == "circulant":
+    if executor is not None:
+        pass  # caller-supplied (e.g. ShardedCirculantDecodeExecutor)
+    elif decode_backend == "circulant":
         executor = BatchedCirculantDecodeExecutor(len(seeds))
     elif decode_backend == "padded":
         executor = BatchedPaddedDecodeExecutor(len(seeds))
