@@ -73,6 +73,17 @@ def simulate_measurements(s_flat, pattern, accuracy, rng):
     return np.where(flips, 1 - true_bits, true_bits)
 
 
+def simulate_measurements_fpfn(true_bits, p_arr, rng):
+    """Flip measurement bits under per-position asymmetric noise: a true 0
+    reads 1 with rate fp[pos], a true 1 reads 0 with rate fn[pos]
+    (``p_arr``: [m, 2], posterior.normalize_fp_fn layout)."""
+    true_bits = np.asarray(true_bits)
+    p_arr = np.asarray(p_arr, np.float64)
+    flip_rate = np.where(true_bits == 1, p_arr[None, :, 1], p_arr[None, :, 0])
+    flips = rng.rand(*true_bits.shape) < flip_rate
+    return np.where(flips, 1 - true_bits, true_bits)
+
+
 def simulate_sum_measurements(ssum, pattern_sum, accuracy, rng, sum_weight):
     coding = coding_from_patterns(pattern_sum, sum_weight=sum_weight)
     m = len(coding[0])
@@ -90,13 +101,30 @@ def simulate_kyber_attack(
     check_blocks=2,
     iterations=10,
     runs=1,
+    fp=None,
+    fn=None,
+    fp_sum=None,
+    fn_sum=None,
 ):
     """Full simulated Kyber-768 attack; returns per-run recovery stats.
 
     Each run: sample secret s, build [H'|I], compute ssum = H's, simulate
     noisy oracle measurements of every coefficient and sum, convert to
     posteriors, decode with the two-alphabet min-sum decoder, compare.
+
+    ``fp``/``fn``: optional per-position (or scalar) false-positive /
+    false-negative oracle rates for the single-coefficient measurements.
+    When given, measurements are flipped asymmetrically per position and
+    posteriors use the matched FalsePositiveNegativePositionalOracle model
+    (posterior.posteriors_from_hard_fpfn) instead of the uniform-accuracy
+    one; ``accuracy`` then only selects the pattern database (the
+    reference records patterns per idealized accuracy, kyber.py:115-283).
+    ``fp_sum``/``fn_sum`` control the sum-check measurements separately
+    (default: the mean of the single-coefficient rates — sum measurements
+    have their own pattern length).
     """
+    from .posterior import normalize_fp_fn, posteriors_from_hard_fpfn
+
     rng = make_random_state(rng)
     patterns = get_patterns(ETA, accuracy, num_patterns, num_patterns_sum, sum_weight)
     H = gen_ldpc_matrix(sum_weight, rng, check_blocks)
@@ -106,6 +134,18 @@ def simulate_kyber_attack(
     prior_sum = secret_distribution(sum_weight)
     coding_single = coding_from_patterns(patterns["pattern"], 1)
     coding_sum = coding_from_patterns(patterns["pattern_sum"], sum_weight)
+    fpfn = fp is not None or fn is not None
+    if fpfn:
+        fp = (1.0 - accuracy) if fp is None else fp
+        fn = (1.0 - accuracy) if fn is None else fn
+        m_single = len(coding_single[0])
+        m_sum = len(coding_sum[0])
+        p_single = normalize_fp_fn(fp, fn, m_single)
+        p_sum = normalize_fp_fn(
+            float(np.mean(fp)) if fp_sum is None else fp_sum,
+            float(np.mean(fn)) if fn_sum is None else fn_sum,
+            m_sum,
+        )
 
     n_b = BLOCK_LEN * NUM_BLOCKS
     results = []
@@ -114,13 +154,30 @@ def simulate_kyber_attack(
         ssum = compute_ssum(s, H, check_blocks)
         s_flat = np.array(s).reshape(-1)
 
-        meas = simulate_measurements(s_flat, patterns["pattern"], accuracy, rng)
-        meas_sum = simulate_sum_measurements(
-            ssum, patterns["pattern_sum"], accuracy, rng, sum_weight
-        )
-
-        post = posteriors_from_hard(meas, coding_single, prior_single, accuracy)
-        post_sum = posteriors_from_hard(meas_sum, coding_sum, prior_sum, accuracy)
+        if fpfn:
+            true_single = np.array([coding_single[int(v)] for v in s_flat])
+            true_sum = np.array([coding_sum[int(v)] for v in ssum])
+            meas = simulate_measurements_fpfn(true_single, p_single, rng)
+            meas_sum = simulate_measurements_fpfn(true_sum, p_sum, rng)
+            post = posteriors_from_hard_fpfn(
+                meas, coding_single, prior_single, p_single
+            )
+            post_sum = posteriors_from_hard_fpfn(
+                meas_sum, coding_sum, prior_sum, p_sum
+            )
+        else:
+            meas = simulate_measurements(
+                s_flat, patterns["pattern"], accuracy, rng
+            )
+            meas_sum = simulate_sum_measurements(
+                ssum, patterns["pattern_sum"], accuracy, rng, sum_weight
+            )
+            post = posteriors_from_hard(
+                meas, coding_single, prior_single, accuracy
+            )
+            post_sum = posteriors_from_hard(
+                meas_sum, coding_sum, prior_sum, accuracy
+            )
 
         s_distr = [post[j * BLOCK_LEN : (j + 1) * BLOCK_LEN] for j in range(NUM_BLOCKS)]
         channel, channel_sum = get_channel_probabilities(

@@ -128,6 +128,39 @@ def s_distribution_from_hard_y_adaptive(y, p, secret_range_func, coding_tree, di
 # -- vectorized batch path ---------------------------------------------------
 
 
+def normalize_fp_fn(fp, fn, m):
+    """Broadcast scalar-or-sequence false-positive / false-negative rates
+    to a [m, 2] per-position array (the FalsePositiveNegativePositionalOracle
+    layout, max_likelihood.py:21-38)."""
+    fp = np.broadcast_to(np.asarray(fp, np.float64), (m,))
+    fn = np.broadcast_to(np.asarray(fn, np.float64), (m,))
+    return np.stack([fp, fn], axis=1)
+
+
+def posteriors_from_hard_fpfn(measurements, coding, distrib_secret, p_arr):
+    """Vectorized posterior under per-position asymmetric oracle noise.
+
+    ``p_arr``: [m, 2] per-position (false-positive, false-negative) rates —
+    the vectorized counterpart of FalsePositiveNegativePositionalOracle
+    (the reference defines that oracle, max_likelihood.py:21-38, but its
+    kyber pipeline only ever instantiates the uniform SimpleOracle).
+    Positionally exact vs the scalar path: agrees with
+    s_distribution_from_hard_y(FalsePositiveNegativePositionalOracle(p_arr))
+    (tests/test_kyber.py).
+    """
+    Y = np.asarray(measurements)
+    symbols = sorted(coding.keys())
+    C = np.array([coding[s] for s in symbols])  # [S, m]
+    prior = np.array([distrib_secret[s] for s in symbols])  # [S]
+    p_arr = np.asarray(p_arr, np.float64)
+    fp, fn = p_arr[:, 0], p_arr[:, 1]
+    # P(measure 1 | codeword bit): bit 0 -> fp, bit 1 -> 1 - fn
+    p1 = np.where(C == 1, 1.0 - fn[None, :], fp[None, :])  # [S, m]
+    lik = np.where(Y[:, None, :] == 1, p1[None], 1.0 - p1[None]).prod(axis=2)
+    post = lik * prior[None, :]
+    return post / post.sum(axis=1, keepdims=True)
+
+
 def posteriors_from_hard(measurements, coding, distrib_secret, accuracy):
     """Vectorized posterior for a whole measurement matrix.
 

@@ -100,6 +100,52 @@ def test_posterior_vectorized_matches_scalar():
         assert np.allclose(post_vec[i], post_scalar, atol=1e-10)
 
 
+def test_posterior_fpfn_matches_scalar_and_uniform():
+    """Vectorized per-position FP/FN posteriors == the scalar
+    FalsePositiveNegativePositionalOracle path, and collapse to the
+    uniform-accuracy posterior when fp == fn == 1 - accuracy."""
+    from sca_ldpc_tpu.models.kyber.posterior import (
+        FalsePositiveNegativePositionalOracle,
+        normalize_fp_fn,
+        posteriors_from_hard_fpfn,
+    )
+
+    pattern = kyber.get_single_patterns(2, 0.95, 3)
+    coding = kyber.coding_from_patterns(pattern, 1)
+    prior = kyber.secret_distribution(1)
+    rng = make_random_state(1)
+    Y = rng.randint(0, 2, size=(10, 3))
+
+    p_arr = normalize_fp_fn([0.02, 0.1, 0.05], [0.08, 0.01, 0.2], 3)
+    oracle = FalsePositiveNegativePositionalOracle(p_arr)
+    post_vec = posteriors_from_hard_fpfn(Y, coding, prior, p_arr)
+    for i in range(10):
+        post_scalar = s_distribution_from_hard_y(
+            tuple(Y[i]), oracle, kyber.secret_range, coding, prior, 1
+        )
+        assert np.allclose(post_vec[i], post_scalar, atol=1e-12)
+
+    uni = normalize_fp_fn(0.05, 0.05, 3)
+    post_u = posteriors_from_hard_fpfn(Y, coding, prior, uni)
+    assert np.allclose(post_u, posteriors_from_hard(Y, coding, prior, 0.95),
+                       atol=1e-12)
+
+
+def test_kyber_attack_fpfn_noise():
+    """End-to-end attack under asymmetric per-position oracle noise: at
+    low rates nearly all coefficients recover; matched-model posteriors
+    keep the pipeline consistent (VERDICT r3 stretch #8)."""
+    rng = make_random_state(9)
+    results = kyber.simulate_kyber_attack(
+        rng, accuracy=0.995, num_patterns=3, num_patterns_sum=3,
+        sum_weight=6, check_blocks=2, iterations=10, runs=1,
+        fp=[0.002, 0.01, 0.005], fn=0.008,
+    )
+    res = results[0]
+    frac = res["correct_coefficients"] / res["total_coefficients"]
+    assert frac > 0.95
+
+
 def test_channel_probabilities_assembly():
     """kyber.py:362-376: sum distributions are reversed."""
     sum_weight = 6
