@@ -813,6 +813,15 @@ class MaskedCirculantCheckDecoder(CheckDecoder):
     TPUs, where recompiles dominate (hqc.py:661-759 semantics otherwise).
     """
 
+    #: Pad the plaintext-block axis up to a multiple of this, with all-inert
+    #: blocks, before dispatch.  P grows by ~1-2 every DECODE_EVERY checks,
+    #: so an unbucketed attack pays one XLA compile per decode: a fresh
+    #: HQC-256 key measured 1.29 s/decode cold vs 0.145 s warm-cache (97.5%
+    #: of single-instance attack wall was decode, ~89% of that compiles —
+    #: artifacts/hqc256_decode_share.json).  Bucketing divides the compile
+    #: count by ~P_BUCKET at the cost of <=P_BUCKET-1 inert extra blocks.
+    P_BUCKET = 8
+
     def __init__(self, params, max_iter=100, method="product_sum"):
         super().__init__(params)
         self.max_iter = int(max_iter)
@@ -820,6 +829,13 @@ class MaskedCirculantCheckDecoder(CheckDecoder):
         self._blocks = {}  # shifts tuple -> block index
         self._block_shifts = []  # block index -> shifts tuple
         self._rows = []  # per check: (block index, bit_n)
+
+    def bucketed_p(self, p=None):
+        """``p`` rounded up to the next P_BUCKET multiple (>= current P)."""
+        if p is None:
+            p = len(self._block_shifts)
+        b = self.P_BUCKET
+        return max(-(-p // b) * b, b)
 
     def add_row(self, shifts, bit_n):
         super().add_row(shifts, bit_n)  # keep supports for executor fallback
@@ -881,10 +897,13 @@ class MaskedCirculantCheckDecoder(CheckDecoder):
 
         from ...ops.circulant_bp import _multi_circulant_bp
 
-        prior_c, prior_i, syn, shifts = self.build_masked_arrays(checks, y_sparse)
+        prior_c, prior_i, syn, shifts = self.build_masked_arrays(
+            checks, y_sparse, p_pad=self.bucketed_p()
+        )
         logger.info(
             f"Attempting masked-circulant decode with {len(checks)} checks "
-            f"over {len(self._block_shifts)} plaintext block(s)."
+            f"over {len(self._block_shifts)} plaintext block(s) "
+            f"(padded to {shifts.shape[0]})."
         )
         e_c, e_i, _conv, _it = _multi_circulant_bp(
             jnp.asarray(prior_c[None]),

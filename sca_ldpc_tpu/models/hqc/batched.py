@@ -171,7 +171,12 @@ class BatchedCirculantDecodeExecutor(BatchedDecodeExecutor):
 
         from ...ops.circulant_bp import _multi_circulant_bp
 
-        p_pad = max(len(dec._block_shifts) for _tid, (dec, _t, _c, _y) in items)
+        # bucketed so the shared compile shape is stable as the running
+        # max P creeps up round-to-round (same rationale as
+        # MaskedCirculantCheckDecoder.P_BUCKET)
+        p_pad = items[0][1][0].bucketed_p(
+            max(len(dec._block_shifts) for _tid, (dec, _t, _c, _y) in items)
+        )
         builds = [
             (tid, dec, tr, checks, y, *dec.build_masked_arrays(checks, y, p_pad=p_pad))
             for tid, (dec, tr, checks, y) in items
@@ -241,7 +246,12 @@ class ShardedCirculantDecodeExecutor(BatchedCirculantDecodeExecutor):
 
         from ...ops.circulant_bp import _multi_circulant_bp
 
-        p_pad = max(len(dec._block_shifts) for _tid, (dec, _t, _c, _y) in items)
+        # bucketed so the shared compile shape is stable as the running
+        # max P creeps up round-to-round (same rationale as
+        # MaskedCirculantCheckDecoder.P_BUCKET)
+        p_pad = items[0][1][0].bucketed_p(
+            max(len(dec._block_shifts) for _tid, (dec, _t, _c, _y) in items)
+        )
         builds = [
             (tid, dec, tr, checks, y,
              *dec.build_masked_arrays(checks, y, p_pad=p_pad))
