@@ -41,6 +41,9 @@ def main():
                     choices=["general", "padded", "circulant"])
     ap.add_argument("--platform", default="default", choices=["cpu", "default"])
     ap.add_argument("--max-oracle-calls", type=int, default=None)
+    ap.add_argument("--p-bucket", type=int, default=None,
+                    help="override MaskedCirculantCheckDecoder.P_BUCKET "
+                         "(1 = no compile-shape bucketing) for ablations")
     args = ap.parse_args()
 
     if args.platform == "cpu":
@@ -64,6 +67,9 @@ def main():
         "padded": atk.PaddedCheckDecoder,
         "general": atk.CheckDecoder,
     }[args.decode_backend]
+
+    if args.p_bucket is not None:
+        atk.MaskedCirculantCheckDecoder.P_BUCKET = args.p_bucket
 
     orig_decode = decoder_cls.decode
 
@@ -127,6 +133,7 @@ def main():
         "code_weight": args.code_weight,
         "decode_every": args.decode_every,
         "decode_backend": args.decode_backend,
+        "p_bucket": atk.MaskedCirculantCheckDecoder.P_BUCKET,
         "platform": args.platform,
         "seed": args.seed,
         "success": bool(ok),
