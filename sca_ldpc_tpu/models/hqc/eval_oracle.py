@@ -39,12 +39,28 @@ logger = logging.getLogger(__name__)
 
 
 def modify_beyond_correction_limit(HQC, rng, ct):
-    """Flip 288 bits in each of 16 RM blocks — far beyond the correction
-    radius, guaranteeing decoding failure (hqc_eval_oracle.py:15-32)."""
-    BLOCK_SIZE = 384
-    BLOCK_NUM = 46
-    NOISE_PER_BLOCK = 288
-    BLOCKS_WITH_NOISE = 16
+    """Flip 3/4 of the bits in each of DELTA+1 RM blocks — beyond both the
+    duplicated-RM(1,7) radius per block and the RS block-correction
+    capacity, guaranteeing decoding failure.
+
+    The reference's constants (hqc_eval_oracle.py:15-32: 288 bits in 16 of
+    46 384-bit blocks) are HQC-128's geometry hardcoded — they decompose as
+    NOISE = 3*n2/4, BLOCKS = delta+1 — and at HQC-192/256 they are NOT
+    beyond the correction limit: the 288-bit flip windows land misaligned
+    over 640-bit RM blocks, leaving most touched blocks within the
+    duplicated-RM radius and the rest within the RS capacity (delta=16),
+    so ~94% of "garbage" probes decode back to the original plaintext and
+    time exactly like the reference.
+    That was the entire HQC-192 calibration failure of rounds 3-4
+    (acc_fail 0.06-0.33 with median fail-class differential ~+100 cycles
+    ~= 0): phase C of scripts/hqc192_diagnostics.py measured it, and this
+    parameterization fixed it (artifacts/hqc192_channel_diagnostics.json).
+    At HQC-128 the derived values reproduce the reference's constants —
+    and its RNG draw sequence — exactly."""
+    BLOCK_SIZE = int(HQC.params("N2"))
+    BLOCK_NUM = int(HQC.params("N1"))
+    NOISE_PER_BLOCK = 3 * BLOCK_SIZE // 4
+    BLOCKS_WITH_NOISE = int(HQC.params("DELTA")) + 1
     N = HQC.params("N")
     for block in rng.choice(BLOCK_NUM, BLOCKS_WITH_NOISE, replace=False):
         bits = [
