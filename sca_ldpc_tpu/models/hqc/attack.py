@@ -814,13 +814,17 @@ class MaskedCirculantCheckDecoder(CheckDecoder):
     """
 
     #: Pad the plaintext-block axis up to a multiple of this, with all-inert
-    #: blocks, before dispatch.  P grows by ~1-2 every DECODE_EVERY checks,
-    #: so an unbucketed attack pays one XLA compile per decode: a fresh
-    #: HQC-256 key measured 1.29 s/decode cold vs 0.145 s warm-cache (97.5%
-    #: of single-instance attack wall was decode, ~89% of that compiles —
-    #: artifacts/hqc256_decode_share.json).  Bucketing divides the compile
-    #: count by ~P_BUCKET at the cost of <=P_BUCKET-1 inert extra blocks.
-    P_BUCKET = 8
+    #: blocks, before dispatch.  Default 1 (no padding) — a round-4
+    #: measured NEGATIVE result: P in a real attack is small (the compile
+    #: cost is per-shape, 1.29 s/decode cold vs 0.145 s warm at HQC-256,
+    #: ~89% compiles), but P TRAJECTORIES repeat across fresh keys, so the
+    #: persistent compilation cache already serves exact-P shapes key-to-key
+    #: (fresh-key warm runs: 0.145-0.158 s/decode), while P_BUCKET=8
+    #: padding multiplied decode execution ~4-5x (0.602-0.772 s/decode,
+    #: same conditions) because mean P is only a few blocks.  Kept as an
+    #: opt-in knob for cold-cache bring-up on new parameter sets
+    #: (BASELINE.md round 4).
+    P_BUCKET = 1
 
     def __init__(self, params, max_iter=100, method="product_sum"):
         super().__init__(params)

@@ -151,13 +151,14 @@ def test_multi_plaintext_decode_masked_circulant():
     ok = decoder.decode(tracking, checks, sorted(y_sparse))
     assert ok
 
-    # compile-shape bucketing: all-inert pad blocks must leave the decode
-    # bit-identical (P=2 padded to P_BUCKET=8 vs unpadded P=2)
-    tracking_np = HqcSimulationTracking(params)
+    # compile-shape bucketing knob: all-inert pad blocks must leave the
+    # decode bit-identical (P=2 padded to 8 vs the unpadded default)
+    tracking_p = HqcSimulationTracking(params)
+    decoder.P_BUCKET = 8
+    ok_p = decoder.decode(tracking_p, checks, sorted(y_sparse))
     decoder.P_BUCKET = 1
-    ok_np = decoder.decode(tracking_np, checks, sorted(y_sparse))
-    assert ok_np == ok
-    assert tracking.decoder_stats[-1] == tracking_np.decoder_stats[-1]
+    assert ok_p == ok
+    assert tracking.decoder_stats[-1] == tracking_p.decoder_stats[-1]
 
 
 def test_toy_decode_padded():
