@@ -659,6 +659,14 @@ class CheckDecoder:
         self.params = params
         self.row_supports = []  # per check: sorted np.ndarray of column indices
 
+    # -- checkpoint support (mid-attack resume, VERDICT round-4 #2) --------
+
+    def state_dict(self):
+        return {"row_supports": [np.asarray(s) for s in self.row_supports]}
+
+    def load_state_dict(self, state):
+        self.row_supports = [np.asarray(s) for s in state["row_supports"]]
+
     def add_row(self, shifts, bit_n):
         """Record the support of circulant row ``bit_n``:
         {(bit_n - k) mod N : k in shifts}."""
@@ -778,6 +786,16 @@ class PaddedCheckDecoder(CheckDecoder):
         self.r_cap = int(r_cap)
         self.dv_cap = int(dv_cap)
 
+    def state_dict(self):
+        state = super().state_dict()
+        state.update(r_cap=self.r_cap, dv_cap=self.dv_cap)
+        return state
+
+    def load_state_dict(self, state):
+        super().load_state_dict(state)
+        self.r_cap = int(state["r_cap"])
+        self.dv_cap = int(state["dv_cap"])
+
     def decode(self, tracking, checks, y_sparse, executor=None):
         if executor is not None:
             return executor.decode(self, tracking, checks, y_sparse)
@@ -833,6 +851,20 @@ class MaskedCirculantCheckDecoder(CheckDecoder):
         self._blocks = {}  # shifts tuple -> block index
         self._block_shifts = []  # block index -> shifts tuple
         self._rows = []  # per check: (block index, bit_n)
+
+    def state_dict(self):
+        state = super().state_dict()
+        state.update(
+            block_shifts=list(self._block_shifts),
+            rows=list(self._rows),
+        )
+        return state
+
+    def load_state_dict(self, state):
+        super().load_state_dict(state)
+        self._block_shifts = [tuple(s) for s in state["block_shifts"]]
+        self._blocks = {s: i for i, s in enumerate(self._block_shifts)}
+        self._rows = [(int(b), int(n)) for b, n in state["rows"]]
 
     def bucketed_p(self, p=None):
         """``p`` rounded up to the next P_BUCKET multiple (>= current P)."""
@@ -982,6 +1014,58 @@ def add_checks(
 
 
 # ---------------------------------------------------------------------------
+# Mid-attack checkpoint/resume (VERDICT round-4 #2)
+# ---------------------------------------------------------------------------
+#
+# The reference's resume surface is keypair pickling + CSV append
+# (hqc.py:74-93, main.py:150-156) — fine for its minutes-long idealized
+# runs, but this framework's physical timing attacks run for hours and
+# three of them have been killed by round wall-clocks with no way to
+# continue.  The full attack state is host-side and picklable; checkpoints
+# are taken at the "clean point" at the top of each inner block-search
+# iteration, where the ciphertext equals the plaintext-round base (all
+# block/bit flips reset), so resume only needs the round base ct plus the
+# persistent state (rng stream, tracking state machine, accumulated
+# checks/decoder rows, timing-channel tallies).
+
+CHECKPOINT_VERSION = 1
+
+
+def save_attack_checkpoint(path, state):
+    """Atomically pickle a checkpoint next to its final destination."""
+    tmp = f"{path}.tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(state, f)
+    os.replace(tmp, path)
+
+
+def load_attack_checkpoint(path, expect_config=None):
+    """Load a checkpoint; verify it matches the resuming run's
+    configuration (resuming under different attack parameters would be
+    silently wrong — same class of bug as the round-3 artifact-resume
+    advisor finding)."""
+    with open(path, "rb") as f:
+        state = pickle.load(f)
+    if state.get("version") != CHECKPOINT_VERSION:
+        raise ValueError(
+            f"checkpoint {path} has version {state.get('version')}, "
+            f"expected {CHECKPOINT_VERSION}"
+        )
+    if expect_config is not None:
+        mismatches = {
+            k: (state["config"].get(k), v)
+            for k, v in expect_config.items()
+            if state["config"].get(k) != v
+        }
+        if mismatches:
+            raise ValueError(
+                f"checkpoint {path} was written under different attack "
+                f"parameters: {mismatches}"
+            )
+    return state
+
+
+# ---------------------------------------------------------------------------
 # Driver (reference: hqc.py:987-1167)
 # ---------------------------------------------------------------------------
 
@@ -1031,6 +1115,9 @@ def simulate_hqc_idealized_oracle(
     timing_pt_target=3,
     timing_recal_every=1200,
     timing_recal_trials=20,
+    checkpoint_path=None,
+    checkpoint_every_decisions=0,
+    resume=False,
 ):
     """Full idealized-oracle key-recovery attack.  Returns (success, tracking).
 
@@ -1074,17 +1161,60 @@ def simulate_hqc_idealized_oracle(
     rolling per-class tallies (TimingChannel.recalibrate) — without it the
     success class degrades asymmetrically under drift because its noise
     headroom is 0.4 expansion costs vs the fail class's 2.6 (round-3
-    finding, BASELINE.md)."""
+    finding, BASELINE.md).
+
+    ``checkpoint_path``: pickle the full attack state there at every clean
+    point (top of each inner block-search iteration, where the ciphertext
+    equals the plaintext-round base); ``checkpoint_every_decisions`` > 0
+    rate-limits writes to once per that many oracle decisions.  With
+    ``resume=True`` an existing checkpoint is loaded and the attack
+    continues mid-round from it: the rng stream, tracking state machine,
+    accumulated checks, decoder rows and timing-channel tallies are
+    restored, the (pickled) keypair overrides ``keyfile``/``keypair``, and
+    in timing mode the start-of-attack profiling is skipped in favor of
+    the stored channel parameters plus one immediate recalibration (the
+    channel has drifted across the gap; absolute levels do not matter —
+    measurements are differential — but the success-level offset and
+    rolling EPSILON are stale)."""
     rng = make_random_state(rng)
     params = make_params(param_set, decode_every, weight, error_rate)
     logger.info(f"Params {params}")
     tracking = HqcSimulationTracking(params)
 
-    pub, priv = keypair if keypair is not None else read_or_generate_keypair(params.HQC, keyfile)
+    checkpoint_config = {
+        "param_set": str(param_set), "decode_every": decode_every,
+        "weight": weight, "oracle_backend": oracle_backend,
+        "decode_backend": decode_backend, "timing_measure": timing_measure,
+        "timing_pt_target": timing_pt_target,
+    }
+    ckpt = None
+    if resume:
+        if not (checkpoint_path and os.path.exists(checkpoint_path)):
+            raise FileNotFoundError(
+                f"resume requested but no checkpoint at {checkpoint_path}"
+            )
+        ckpt = load_attack_checkpoint(checkpoint_path, checkpoint_config)
+        logger.info(
+            f"Resuming attack from {checkpoint_path}: "
+            f"{ckpt['tracking']['num_oracle_calls']} oracle decisions, "
+            f"{len(ckpt['checks'])} checks accumulated"
+        )
+
+    if ckpt is not None:
+        pub, priv = ckpt["keypair"]
+        rng.set_state(ckpt["rng_state"])
+    else:
+        pub, priv = keypair if keypair is not None else read_or_generate_keypair(params.HQC, keyfile)
 
     timing_channel = None
     timing_params = None
-    if oracle_backend == "timing":
+    if oracle_backend == "timing" and ckpt is not None:
+        timing_params = ckpt["timing_params"]
+        params.EPSILON = tuple(ckpt["epsilon"])
+        if ckpt["certainty_cap"] is not None:
+            params.CERTAINTY_CAP = tuple(ckpt["certainty_cap"])
+        tracking.timing_calibration = ckpt["tracking"]["timing_calibration"]
+    elif oracle_backend == "timing":
         from .oracle_timing import calibrate_timing_channel
 
         # calibrate_timing_channel re-profiles and ultimately raises if
@@ -1139,21 +1269,70 @@ def simulate_hqc_idealized_oracle(
     else:
         raise ValueError(f"unknown decode_backend: {decode_backend}")
 
+    if ckpt is not None:
+        checks = list(ckpt["checks"])
+        decoder.load_state_dict(ckpt["decoder"])
+        tracking.num_oracle_calls = ckpt["tracking"]["num_oracle_calls"]
+        tracking.decoder_stats = list(ckpt["tracking"]["decoder_stats"])
+
+    last_checkpoint_decisions = [tracking.num_oracle_calls]
+
+    def write_checkpoint(pt, shifts, round_base_ct, oracle):
+        """Snapshot the full attack state (only valid at a clean point:
+        the oracle ciphertext must equal the plaintext-round base)."""
+        if bytes(oracle.ct) != bytes(round_base_ct):
+            logger.warning(
+                "skipping checkpoint: ciphertext differs from the round "
+                "base (not at a clean point)"
+            )
+            return
+        save_attack_checkpoint(checkpoint_path, {
+            "version": CHECKPOINT_VERSION,
+            "config": dict(checkpoint_config),
+            "keypair": (bytes(pub), bytes(priv)),
+            "rng_state": rng.get_state(),
+            "tracking": {
+                "num_oracle_calls": tracking.num_oracle_calls,
+                "decoder_stats": list(tracking.decoder_stats),
+                "block_status": tracking.block_status,
+                "timing_calibration": getattr(
+                    tracking, "timing_calibration", None),
+            },
+            "checks": list(checks),
+            "decoder": decoder.state_dict(),
+            "pt": bytes(pt),
+            "shifts": [int(s) for s in shifts],
+            "ct": bytes(round_base_ct),
+            "epsilon": tuple(params.EPSILON),
+            "certainty_cap": getattr(params, "CERTAINTY_CAP", None),
+            "timing_params": timing_params,
+            "channel": (timing_channel.state_dict()
+                        if timing_channel is not None else None),
+        })
+        last_checkpoint_decisions[0] = tracking.num_oracle_calls
+
     while True:
-        pt = search_distinguishable_plaintext(
-            params.HQC, rng,
-            target_additional_seedexpansions=(
-                timing_pt_target if oracle_backend == "timing" else 3
-            ),
-        )
+        resuming_round = ckpt is not None
+        if resuming_round:
+            pt = bytes(ckpt["pt"])
+            shifts = np.asarray(ckpt["shifts"], dtype=np.int64)
+            r1_sparse = sorted(int(i) for i in shifts)
+            ct = bytearray(ckpt["ct"])
+        else:
+            pt = search_distinguishable_plaintext(
+                params.HQC, rng,
+                target_additional_seedexpansions=(
+                    timing_pt_target if oracle_backend == "timing" else 3
+                ),
+            )
 
-        logger.info(f"Create random (L/M)DPC parity check of size {params.N}")
-        first_row = random_circulant_first_row(params.N, weight, rng)
-        shifts = np.flatnonzero(first_row)
+            logger.info(f"Create random (L/M)DPC parity check of size {params.N}")
+            first_row = random_circulant_first_row(params.N, weight, rng)
+            shifts = np.flatnonzero(first_row)
 
-        r1_sparse = sorted(int(i) for i in np.flatnonzero(first_row))
-        assert weight == len(r1_sparse)
-        ct, _ss = params.HQC.encaps_with_plaintext_and_r1(pub, pt, r1_sparse)
+            r1_sparse = sorted(int(i) for i in np.flatnonzero(first_row))
+            assert weight == len(r1_sparse)
+            ct, _ss = params.HQC.encaps_with_plaintext_and_r1(pub, pt, r1_sparse)
 
         y_times_r1 = sparse_times_sparse(y_sparse, r1_sparse, params.N)
         if oracle_backend == "timing":
@@ -1181,9 +1360,19 @@ def simulate_hqc_idealized_oracle(
                     ),
                     on_update=_adopt_epsilon,
                 )
+                if resuming_round and ckpt["channel"] is not None:
+                    timing_channel.load_state_dict(ckpt["channel"])
+                    timing_channel.rebase(ct)
                 # live counters (decaps, measurements, per-class empirical
                 # accuracy) stay reachable from the returned tracking
                 tracking.timing_channel = timing_channel
+                if resuming_round and ckpt["channel"] is not None:
+                    # The channel drifted across the checkpoint gap:
+                    # re-center the decision boundary and refresh the
+                    # rolling EPSILON before trusting any decision.
+                    logger.info("Post-resume channel recalibration")
+                    timing_channel.recalibrate(
+                        trials=max(timing_recal_trials, 30))
             else:
                 timing_channel.rebase(ct)
         oracle = HqcOracle(
@@ -1197,9 +1386,20 @@ def simulate_hqc_idealized_oracle(
         ):
             oracle.assert_raises = False
 
-        tracking.reset_block_status()
+        if resuming_round:
+            tracking.block_status = ckpt["tracking"]["block_status"]
+            tracking.current_block_nr = None
+            ckpt = None  # later rounds sample fresh plaintexts
+        else:
+            tracking.reset_block_status()
+        round_base_ct = bytes(ct)
         try:
             while True:
+                if checkpoint_path and (
+                    tracking.num_oracle_calls - last_checkpoint_decisions[0]
+                    >= checkpoint_every_decisions
+                ):
+                    write_checkpoint(pt, shifts, round_base_ct, oracle)
                 if max_oracle_calls and tracking.num_oracle_calls > max_oracle_calls:
                     logger.warning("Oracle-call budget exhausted; stopping")
                     return False, tracking

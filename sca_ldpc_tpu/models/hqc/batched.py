@@ -58,6 +58,22 @@ def _batched_decode_received(layouts, channels, msgs, max_iter=100, method="prod
     return np.asarray(decoded)
 
 
+def _shared_p_pad(items):
+    """Bucketed plaintext-block pad shared by a batch of masked-circulant
+    decoders — stable as the running max P creeps up round-to-round (same
+    rationale as MaskedCirculantCheckDecoder.P_BUCKET).  All instances
+    must agree on the bucket size: an instance-level P_BUCKET override on
+    just one decoder would otherwise silently set the whole batch's pad
+    shape (advisor finding, round 4)."""
+    buckets = {dec.P_BUCKET for _tid, (dec, _t, _c, _y) in items}
+    assert len(buckets) == 1, (
+        f"batched instances disagree on P_BUCKET: {sorted(buckets)}"
+    )
+    return items[0][1][0].bucketed_p(
+        max(len(dec._block_shifts) for _tid, (dec, _t, _c, _y) in items)
+    )
+
+
 class BatchedDecodeExecutor:
     """Barrier batcher: collects one pending decode per live instance, runs
     them as a single vmapped call, distributes results."""
@@ -171,12 +187,7 @@ class BatchedCirculantDecodeExecutor(BatchedDecodeExecutor):
 
         from ...ops.circulant_bp import _multi_circulant_bp
 
-        # bucketed so the shared compile shape is stable as the running
-        # max P creeps up round-to-round (same rationale as
-        # MaskedCirculantCheckDecoder.P_BUCKET)
-        p_pad = items[0][1][0].bucketed_p(
-            max(len(dec._block_shifts) for _tid, (dec, _t, _c, _y) in items)
-        )
+        p_pad = _shared_p_pad(items)
         builds = [
             (tid, dec, tr, checks, y, *dec.build_masked_arrays(checks, y, p_pad=p_pad))
             for tid, (dec, tr, checks, y) in items
@@ -246,12 +257,7 @@ class ShardedCirculantDecodeExecutor(BatchedCirculantDecodeExecutor):
 
         from ...ops.circulant_bp import _multi_circulant_bp
 
-        # bucketed so the shared compile shape is stable as the running
-        # max P creeps up round-to-round (same rationale as
-        # MaskedCirculantCheckDecoder.P_BUCKET)
-        p_pad = items[0][1][0].bucketed_p(
-            max(len(dec._block_shifts) for _tid, (dec, _t, _c, _y) in items)
-        )
+        p_pad = _shared_p_pad(items)
         builds = [
             (tid, dec, tr, checks, y,
              *dec.build_masked_arrays(checks, y, p_pad=p_pad))

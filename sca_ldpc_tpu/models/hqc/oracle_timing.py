@@ -35,6 +35,8 @@ accumulated certainty.
 """
 
 import logging
+import os
+import time
 
 from .eval_oracle import (
     _measure_interleaved,
@@ -116,6 +118,32 @@ class TimingChannel:
         self.num_recals = 0
         self.num_recal_decaps = 0
         self.recal_history = []
+
+    #: Fields that fully capture the channel's mutable state (everything a
+    #: mid-attack checkpoint must carry; the constructor arguments HQC/priv
+    #: and the rng are re-supplied on resume).
+    _STATE_FIELDS = (
+        "base_ct", "gap", "margin", "measure", "chunk_cap", "max_retries",
+        "num_measurements", "num_decaps", "truth_agree", "truth_total",
+        "offset", "recal_every", "recal_trials", "recal_decay", "epsilon",
+        "_tallies", "_decisions_since_recal", "num_recals",
+        "num_recal_decaps", "recal_history",
+    )
+
+    def state_dict(self):
+        """Picklable snapshot of the channel's mutable state (checkpoint
+        support — see attack.simulate_hqc_idealized_oracle's
+        ``checkpoint_path``)."""
+        return {k: getattr(self, k) for k in self._STATE_FIELDS}
+
+    def load_state_dict(self, state):
+        """Restore a :meth:`state_dict` snapshot.  The absolute timing
+        levels will have drifted across the checkpoint gap, so resuming
+        callers should follow with :meth:`recalibrate` before trusting any
+        decision (measurements are differential, but the success-level
+        ``offset`` and rolling EPSILON are stale)."""
+        for k in self._STATE_FIELDS:
+            setattr(self, k, state[k])
 
     def rebase(self, base_ct):
         """Point the differential reference at a new attack ciphertext
@@ -206,6 +234,11 @@ class TimingChannel:
             "window_acc_success": correct_s / trials,
             "offset": self.offset,
             "epsilon": list(self.epsilon),
+            # Ambient-condition covariate (VERDICT round-4 weak #3/#6): the
+            # attack process itself contributes ~1.0 to the 1-min load
+            # average mid-run, so ambient co-tenant load ~= loadavg - 1.
+            "loadavg": round(_loadavg(), 3),
+            "unix_time": int(time.time()),
         })
         logger.info(
             f"Timing recalibration #{self.num_recals}: window acc "
@@ -238,6 +271,30 @@ class TimingChannel:
             if self.truth_total[i] else None
             for i in (0, 1)
         )
+
+
+def _loadavg():
+    """1-minute load average, 0.0 where unsupported."""
+    try:
+        return os.getloadavg()[0]
+    except (OSError, AttributeError):
+        return 0.0
+
+
+def warn_if_host_busy(threshold=0.6, context="timing measurement"):
+    """Quiet-host discipline guard (round-4 weak #6: a concurrent 8-minute
+    test run degraded a live attack's success class from ~0.85 to ~0.70,
+    and nothing enforced the prose rule).  Called before profiling /
+    calibration starts, i.e. before this process itself drives the load
+    average up.  Returns the load average so callers can record it."""
+    load = _loadavg()
+    if load > threshold:
+        logger.warning(
+            f"host load average is {load:.2f} at {context} start — "
+            "concurrent compute corrupts cycle timing on this 2-core box "
+            "(CLAUDE.md); expect degraded per-class accuracy"
+        )
+    return load
 
 
 def _success_probe_ct(HQC, rng, base_ct):
@@ -299,6 +356,9 @@ def calibrate_timing_channel(
     ``max_calibration_attempts`` failures this raises.
     """
     from .attack import search_distinguishable_plaintext
+
+    start_load = warn_if_host_busy(context="channel profiling")
+    logger.info(f"Host load average at profiling start: {start_load:.2f}")
 
     # Warm the caches / branch predictors like the reference's warmup phase.
     profiling_oracle(HQC, rng, pub, priv, "warmup", False, num_profiles=1,
@@ -378,7 +438,8 @@ def calibrate_timing_channel(
                       "garbage_distribution": garbage,
                       "fail_ceiling": ceiling,
                       "acc_fail": acc_fail, "acc_success": acc_success,
-                      "calibration_trials": calibration_trials}
+                      "calibration_trials": calibration_trials,
+                      "loadavg_at_calibration": round(start_load, 3)}
             return params, acc_fail, acc_success, ctnmod
         last_err = (
             f"calibrated accuracy below {min_accuracy} (acc_fail={acc_fail}, "

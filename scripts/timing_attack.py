@@ -50,6 +50,12 @@ def main():
                          "recalibrations (0 disables)")
     ap.add_argument("--recal-trials", type=int, default=20,
                     help="known-class probes per class per recalibration")
+    ap.add_argument("--checkpoint", default=None,
+                    help="pickle the full attack state here at every clean "
+                         "point so a killed run can be continued")
+    ap.add_argument("--resume", action="store_true",
+                    help="continue from an existing --checkpoint file "
+                         "(skips profiling; recalibrates the channel once)")
     args = ap.parse_args()
 
     if args.platform == "cpu":
@@ -126,6 +132,8 @@ def main():
             timing_pt_target=args.pt_target,
             timing_recal_every=args.recal_every,
             timing_recal_trials=args.recal_trials,
+            checkpoint_path=args.checkpoint,
+            resume=args.resume,
         )
     finally:
         stop_partial()

@@ -89,6 +89,9 @@ def main():
     summary = []
     for (name, pset, weight, decode_every, seed, backend, _platform) in runs:
         out = os.path.join(args.out_dir, f"timing_{name}.json")
+        ckpt_path = os.path.join(args.out_dir, f"checkpoint_{name}.pkl")
+        resume = False
+        prior_wall = 0.0
         if os.path.exists(out):
             with open(out) as f:
                 prior = json.load(f)
@@ -102,8 +105,16 @@ def main():
                 ) if prior.get(k) != cur
             }
             if prior.get("partial") or prior.get("error"):
-                logger.warning(f"{name}: existing artifact is partial or "
-                               "errored (previous run died) — re-running")
+                resume = os.path.exists(ckpt_path) and not mismatches
+                if resume:
+                    prior_wall = float(prior.get("wall_seconds", 0.0))
+                    logger.warning(
+                        f"{name}: existing artifact is partial or errored — "
+                        f"resuming from {ckpt_path} "
+                        f"({prior_wall:.0f}s already spent)")
+                else:
+                    logger.warning(f"{name}: existing artifact is partial or "
+                                   "errored (previous run died) — re-running")
             elif mismatches:
                 logger.warning(
                     f"{name}: existing artifact measured under different "
@@ -144,9 +155,10 @@ def main():
                 "decode_backend": _backend,
             }
 
-        def snapshot(_t0=t0, _base=base_artifact, _box=tracking_box):
+        def snapshot(_t0=t0, _base=base_artifact, _box=tracking_box,
+                     _pw=prior_wall):
             art = _base()
-            art["wall_seconds"] = round(time.time() - _t0, 1)
+            art["wall_seconds"] = round(_pw + time.time() - _t0, 1)
             tr = _box.get("tracking")
             if tr is not None:
                 art.update(channel_fields(tr))
@@ -169,13 +181,15 @@ def main():
                 timing_calibration_trials=args.calibration_trials,
                 timing_recal_every=args.recal_every,
                 timing_recal_trials=args.recal_trials,
+                checkpoint_path=ckpt_path,
+                resume=resume,
             )
         except Exception as e:  # e.g. calibration failure on a noisy window
             run_error = str(e)
         finally:
             stop_partial()
             HqcSimulationTracking.__init__ = orig_init
-        wall = time.time() - t0
+        wall = prior_wall + time.time() - t0
         if run_error is not None:
             logger.warning(f"{name}: run failed after {wall:.0f}s: {run_error}")
             art = snapshot()
@@ -193,11 +207,14 @@ def main():
             ),
             "success": bool(ok),
             "wall_seconds": round(wall, 1),
+            "resumed": resume,
             "decoder_stats_last": {k: (bool(v) if isinstance(v, bool) else v)
                                    for k, v in stats.items()},
         })
         artifact.update(channel_fields(tracking))
         write_json(out, artifact)
+        if ok and os.path.exists(ckpt_path):
+            os.remove(ckpt_path)  # a completed run must not be resumed
         summary.append(artifact)
         logger.info(
             f"{name}: success={ok} wall={wall:.0f}s "
