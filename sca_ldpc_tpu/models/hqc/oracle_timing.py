@@ -35,10 +35,10 @@ accumulated certainty.
 """
 
 import logging
-import os
 import time
 
 from .eval_oracle import (
+    _loadavg,
     _measure_interleaved,
     measure_garbage_expansion_distribution,
     modify_beyond_correction_limit,
@@ -271,14 +271,6 @@ class TimingChannel:
             if self.truth_total[i] else None
             for i in (0, 1)
         )
-
-
-def _loadavg():
-    """1-minute load average, 0.0 where unsupported."""
-    try:
-        return os.getloadavg()[0]
-    except (OSError, AttributeError):
-        return 0.0
 
 
 def warn_if_host_busy(threshold=0.6, context="timing measurement"):

@@ -32,9 +32,14 @@ Timing phases need a quiet host (CLAUDE.md); run nothing else concurrently.
 Reference: simulate/hqc_eval_oracle.py:15-56 (the reference's oracle eval,
 HQC-128 only — it never characterizes 192); BASELINE.md round-3 section.
 
+Round 5: generalized to any parameter set via ``--param-set`` (the round-4
+probe fix claims geometry generality from 128/192; ``--param-set 256``
+proves or bounds it at 256, where the reference never measures at all).
+
 Usage:
     python scripts/hqc192_diagnostics.py --out artifacts/hqc192_channel_diagnostics.json
     python scripts/hqc192_diagnostics.py --phases A --out /tmp/a.json   # structure only
+    python scripts/hqc192_diagnostics.py --param-set 256                # 256 verdict
 """
 
 import argparse
@@ -198,7 +203,9 @@ def phase_c(HQC, rng, pub, priv, measure_levels, trials, margin_frac,
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="artifacts/hqc192_channel_diagnostics.json")
+    ap.add_argument("--param-set", default="192", choices=["128", "192", "256"])
+    ap.add_argument("--out", default=None,
+                    help="default: artifacts/hqc<set>_channel_diagnostics.json")
     ap.add_argument("--phases", default="ABC")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--garbage-samples", type=int, default=2**16)
@@ -214,13 +221,16 @@ def main():
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(name)s %(message)s")
 
-    from sca_ldpc_tpu.models.hqc.model import Hqc192
+    from sca_ldpc_tpu.models.hqc.model import Hqc128, Hqc192, Hqc256
     from sca_ldpc_tpu.utils import make_random_state
 
-    HQC = Hqc192()
+    HQC = {"128": Hqc128, "192": Hqc192, "256": Hqc256}[args.param_set]()
+    if args.out is None:
+        args.out = f"artifacts/hqc{args.param_set}_channel_diagnostics.json"
     rng = make_random_state(args.seed)
     artifact = {
-        "experiment": "hqc192_channel_diagnostics",
+        "experiment": f"hqc{args.param_set}_channel_diagnostics",
+        "param_set": args.param_set,
         "seed": args.seed,
         "phases": args.phases,
     }
@@ -249,7 +259,7 @@ def main():
             if cost is not None and cost > 0:
                 break
         artifact["per_expansion_cost_cycles"] = cost
-        logger.info(f"Per-expansion cost at 192: {cost} cycles")
+        logger.info(f"Per-expansion cost at {args.param_set}: {cost} cycles")
         _write(args.out, artifact)
 
         if "B" in args.phases:

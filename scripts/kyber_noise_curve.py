@@ -12,6 +12,14 @@ kyber experiment only ever instantiates the uniform SimpleOracle).
 Each row: noise configuration x runs -> average correct coefficients and
 full recoveries, with the per-position rates recorded as columns.
 
+Round 5 (VERDICT round-4 weak #5 / task 7): default runs raised 8 -> 32 so
+recovery-count differences clear binomial noise (a 5/8-vs-4/8 difference
+is meaningless; at 32 runs the ±1σ band on a 0.5 rate is ±0.088), a
+standard-error column added for avg_correct, and the sweep now covers TWO
+pattern-database accuracies (0.995 and the round-3 cross-validation
+operating point 0.95) so the noise curve connects to
+artifacts/kyber_crossvalidation.json.
+
     python scripts/kyber_noise_curve.py --out artifacts/kyber768_noise_curve.csv
 """
 
@@ -27,9 +35,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="artifacts/kyber768_noise_curve.csv")
-    ap.add_argument("--runs", type=int, default=8)
-    ap.add_argument("--accuracy", type=float, default=0.995,
-                    help="pattern-database accuracy (selects codings)")
+    ap.add_argument("--runs", type=int, default=32)
+    ap.add_argument("--accuracies", type=float, nargs="+",
+                    default=[0.995, 0.95],
+                    help="pattern-database accuracies (select codings); "
+                         "0.95 is the round-3 cross-validation operating "
+                         "point")
     ap.add_argument("--num-patterns", type=int, default=3)
     ap.add_argument("--num-patterns-sum", type=int, default=3)
     ap.add_argument("--check-blocks", type=int, default=2)
@@ -67,43 +78,52 @@ def main():
         configs.append((f"pos0-fn-{hot}", 0.01, list(rates)))
 
     rows = []
-    for label, fp, fn in configs:
-        t0 = time.time()
-        results = simulate_kyber_attack(
-            make_random_state(args.seed),
-            accuracy=args.accuracy,
-            num_patterns=args.num_patterns,
-            num_patterns_sum=args.num_patterns_sum,
-            check_blocks=args.check_blocks,
-            iterations=args.iterations,
-            runs=args.runs,
-            fp=fp,
-            fn=fn,
-        )
-        avg = sum(r["correct_coefficients"] for r in results) / len(results)
-        rec = sum(r["recovered"] for r in results)
-        fp_arr = np.broadcast_to(np.asarray(fp, float), (m,))
-        fn_arr = np.broadcast_to(np.asarray(fn, float), (m,))
-        row = {
-            "config": label,
-            "db_accuracy": args.accuracy,
-            "num_patterns": args.num_patterns,
-            "check_blocks": args.check_blocks,
-            "runs": args.runs,
-            "fp": json.dumps(list(np.round(fp_arr, 4))),
-            "fn": json.dumps(list(np.round(fn_arr, 4))),
-            "mean_fp": round(float(fp_arr.mean()), 4),
-            "mean_fn": round(float(fn_arr.mean()), 4),
-            "avg_correct": round(avg, 2),
-            "total_coefficients": results[0]["total_coefficients"],
-            "recoveries": rec,
-        }
-        for i in range(m):
-            row[f"fp_pos{i}"] = round(float(fp_arr[i]), 4)
-            row[f"fn_pos{i}"] = round(float(fn_arr[i]), 4)
-        rows.append(row)
-        print(f"{label}: avg correct {avg:.1f}/{row['total_coefficients']}, "
-              f"recoveries {rec}/{args.runs} ({time.time() - t0:.1f}s)")
+    for accuracy in args.accuracies:
+        for label, fp, fn in configs:
+            t0 = time.time()
+            results = simulate_kyber_attack(
+                make_random_state(args.seed),
+                accuracy=accuracy,
+                num_patterns=args.num_patterns,
+                num_patterns_sum=args.num_patterns_sum,
+                check_blocks=args.check_blocks,
+                iterations=args.iterations,
+                runs=args.runs,
+                fp=fp,
+                fn=fn,
+            )
+            correct = np.array([r["correct_coefficients"] for r in results],
+                               float)
+            avg = float(correct.mean())
+            # standard error of the mean — the statistic asymmetry claims
+            # must clear (round-4 weak #5: 8-run differences were inside
+            # binomial noise)
+            sem = float(correct.std(ddof=1) / np.sqrt(len(correct)))
+            rec = sum(r["recovered"] for r in results)
+            fp_arr = np.broadcast_to(np.asarray(fp, float), (m,))
+            fn_arr = np.broadcast_to(np.asarray(fn, float), (m,))
+            row = {
+                "config": label,
+                "db_accuracy": accuracy,
+                "num_patterns": args.num_patterns,
+                "check_blocks": args.check_blocks,
+                "runs": args.runs,
+                "fp": json.dumps(list(np.round(fp_arr, 4))),
+                "fn": json.dumps(list(np.round(fn_arr, 4))),
+                "mean_fp": round(float(fp_arr.mean()), 4),
+                "mean_fn": round(float(fn_arr.mean()), 4),
+                "avg_correct": round(avg, 2),
+                "sem_correct": round(sem, 3),
+                "total_coefficients": results[0]["total_coefficients"],
+                "recoveries": rec,
+            }
+            for i in range(m):
+                row[f"fp_pos{i}"] = round(float(fp_arr[i]), 4)
+                row[f"fn_pos{i}"] = round(float(fn_arr[i]), 4)
+            rows.append(row)
+            print(f"acc={accuracy} {label}: avg correct "
+                  f"{avg:.1f}±{sem:.2f}/{row['total_coefficients']}, "
+                  f"recoveries {rec}/{args.runs} ({time.time() - t0:.1f}s)")
 
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
     pd.DataFrame(rows).to_csv(args.out, index=False)
