@@ -135,7 +135,8 @@ def test_eval_oracle_incremental_csv(tmp_path):
     )
     with open(csv_file) as f:
         lines = f.read().strip().splitlines()
-    assert lines[0] == "measurements,accuracy,trials,decaps_per_decision"
+    assert lines[0] == ("measurements,accuracy,trials,decaps_per_decision,"
+                        "quiet_accuracy,quiet_trials,mean_loadavg")
     rows = [ln.split(",") for ln in lines[1:]]
     assert [int(r[0]) for r in rows] == [1, 2]
     for r in rows:
@@ -143,6 +144,13 @@ def test_eval_oracle_incremental_csv(tmp_path):
         assert acc == pytest.approx(results[m])
         assert trials == 3
         assert dpd == 2 * m  # differential mode: 2x measure decaps/decision
+        # ambient-condition covariate columns: every trial records load;
+        # quiet trials are a (possibly empty) subset of counted ones
+        quiet_trials = int(r[5]) if r[5] else 0
+        assert 0 <= quiet_trials <= trials
+        if quiet_trials:
+            assert 0.0 <= float(r[4]) <= 1.0
+        assert float(r[6]) >= 0.0  # mean loadavg recorded for new levels
 
 
 def test_eval_oracle_reference_modes(tmp_path):
