@@ -305,6 +305,7 @@ def simulate_hqc_attacks_batched(
     oracle_backend="fast",
     decode_backend="general",
     executor=None,
+    checkpoint_dir=None,
     **attack_kwargs,
 ):
     """Run len(seeds) independent attack instances with batched decodes.
@@ -323,7 +324,17 @@ def simulate_hqc_attacks_batched(
     decode rounds still batch on device.  Extra ``attack_kwargs``
     (timing_measure, timing_profile_measurements, ...) forward to
     simulate_hqc_idealized_oracle.
+
+    ``checkpoint_dir``: per-instance mid-attack checkpoints
+    (``instance_<seed>.ckpt``) written at every clean point; on a relaunch
+    each instance with an existing checkpoint resumes its exact state
+    (key, rng stream, checks, channel tallies) while instances without one
+    start fresh — so a killed multi-hour batched run continues instead of
+    restarting (VERDICT round-4 #2; the round-3 82-minute batched death
+    motivated this).
     """
+    import os
+
     if executor is not None:
         pass  # caller-supplied (e.g. ShardedCirculantDecodeExecutor)
     elif decode_backend == "circulant":
@@ -337,8 +348,14 @@ def simulate_hqc_attacks_batched(
     results = [None] * len(seeds)
     params = make_params(param_set, decode_every, weight, error_rate)
     keypairs = [params.HQC.keypair() for _ in seeds]
+    if checkpoint_dir:
+        os.makedirs(checkpoint_dir, exist_ok=True)
 
     def run(i, seed):
+        ckpt_path = (
+            os.path.join(checkpoint_dir, f"instance_{seed}.ckpt")
+            if checkpoint_dir else None
+        )
         try:
             results[i] = simulate_hqc_idealized_oracle(
                 make_random_state(seed),
@@ -352,8 +369,12 @@ def simulate_hqc_attacks_batched(
                 decode_executor=executor,
                 decode_backend=decode_backend,
                 keypair=keypairs[i],
+                checkpoint_path=ckpt_path,
+                resume=bool(ckpt_path and os.path.exists(ckpt_path)),
                 **attack_kwargs,
             )
+            if ckpt_path and results[i][0] and os.path.exists(ckpt_path):
+                os.remove(ckpt_path)  # a recovered key must not be resumed
         finally:
             executor.deregister()
 

@@ -40,6 +40,9 @@ def main():
     ap.add_argument("--platform", default="default", choices=["cpu", "default"])
     ap.add_argument("--recal-every", type=int, default=1200)
     ap.add_argument("--recal-trials", type=int, default=20)
+    ap.add_argument("--checkpoint-dir", default=None,
+                    help="per-instance mid-attack checkpoints; relaunching "
+                         "with the same dir resumes killed instances")
     args = ap.parse_args()
 
     if args.platform == "cpu":
@@ -107,6 +110,7 @@ def main():
             timing_calibration_trials=args.calibration_trials,
             timing_recal_every=args.recal_every,
             timing_recal_trials=args.recal_trials,
+            checkpoint_dir=args.checkpoint_dir,
         )
     finally:
         stop_partial()
