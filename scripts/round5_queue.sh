@@ -23,6 +23,18 @@ timeout 4200 python scripts/kyber_noise_curve.py \
     --out artifacts/kyber768_noise_curve.csv \
     > artifacts/logs/r5_queue_kyber.log 2>&1
 
+# 3b. plateau-level top-up to 2000 trials: the NEW 1000 trials carry the
+# per-trial load covariate, so the quiet_* CSV columns directly answer
+# whether the round-4 256-512-vs-1024-4096 inversion is weather or channel
+# (VERDICT r4 #5).  ~1 h.
+timeout 5400 python -m sca_ldpc_tpu.cli.main hqc_eval_oracle \
+    --seed 1 --key-file artifacts/eval_oracle.key \
+    --profile-log2 16 --max-log2-measurements 16 \
+    --trials 2000 --only-levels 256 512 1024 2048 4096 \
+    --state-file artifacts/hqc128_oracle_accuracy_linear.state.json \
+    --csv-output artifacts/hqc128_oracle_accuracy_linear.csv \
+    > artifacts/logs/r5_queue_evaltopup.log 2>&1
+
 timeout 14400 python -m sca_ldpc_tpu.cli.main hqc_eval_oracle \
     --seed 1 --key-file artifacts/eval_oracle.key \
     --profile-log2 16 --max-log2-measurements 16 \
