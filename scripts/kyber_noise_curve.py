@@ -123,10 +123,15 @@ def main():
             rows.append(row)
             print(f"acc={accuracy} {label}: avg correct "
                   f"{avg:.1f}±{sem:.2f}/{row['total_coefficients']}, "
-                  f"recoveries {rec}/{args.runs} ({time.time() - t0:.1f}s)")
+                  f"recoveries {rec}/{args.runs} ({time.time() - t0:.1f}s)",
+                  flush=True)
+            # incremental write: a killed sweep keeps its completed configs
+            os.makedirs(os.path.dirname(os.path.abspath(args.out)),
+                        exist_ok=True)
+            tmp = args.out + ".tmp"
+            pd.DataFrame(rows).to_csv(tmp, index=False)
+            os.replace(tmp, args.out)
 
-    os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
-    pd.DataFrame(rows).to_csv(args.out, index=False)
     print(f"wrote {args.out}")
 
 
