@@ -248,9 +248,15 @@ REFERENCE_ORACLE_ACCURACY = [
 ]
 
 
-def view_hqc_oracle_accuracy(measured=None, outputname="OracleAccuracy.png"):
+def view_hqc_oracle_accuracy(measured=None, outputname="OracleAccuracy.png",
+                             measured_quiet=None):
     """Accuracy-vs-measurements curve; overlays our measured data on the
-    reference's published curve when given (visualize.py:343-424)."""
+    reference's published curve when given (visualize.py:343-424).
+
+    ``measured_quiet``: optional quiet-window decomposition (round-5
+    condition covariate) plotted as a third series — the reference's curve
+    is single-condition idle-laptop, so the quiet column is the
+    apples-to-apples comparison."""
     import seaborn as sns
 
     acc = REFERENCE_ORACLE_ACCURACY
@@ -262,6 +268,12 @@ def view_hqc_oracle_accuracy(measured=None, outputname="OracleAccuracy.png"):
         rows += [
             {"Measurements": m, "Accuracy": a, "Legend": "this framework"}
             for m, a in sorted(measured.items())
+        ]
+    if measured_quiet:
+        rows += [
+            {"Measurements": m, "Accuracy": a,
+             "Legend": "this framework (quiet windows)"}
+            for m, a in sorted(measured_quiet.items())
         ]
     df = pd.DataFrame(rows)
     df = df[df["Measurements"] >= 0]
