@@ -223,6 +223,19 @@ def main():
             f"{artifact['live_accuracy_success']:.3f})"
         )
 
+    # The summary covers EVERY completed artifact in out_dir, not just this
+    # invocation's --runs subset — a filtered invocation must not shrink
+    # the cumulative table (round-5 fix: the 192-only rerun had clobbered
+    # the N=5 summary).
+    known = {a.get("run") for a in summary}
+    for path in sorted(os.listdir(args.out_dir)):
+        if not (path.startswith("timing_") and path.endswith(".json")):
+            continue
+        with open(os.path.join(args.out_dir, path)) as f:
+            art = json.load(f)
+        if art.get("run") and art["run"] not in known and not art.get("partial"):
+            summary.append(art)
+            known.add(art["run"])
     with open(os.path.join(args.out_dir, "summary.json"), "w") as f:
         json.dump(summary, f, indent=1)
     print("\nrun            set  ok   wall(s)  decisions  decaps     "
